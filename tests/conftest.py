@@ -1,0 +1,22 @@
+"""Test config: run everything on CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data")
+
+
+@pytest.fixture(scope="session")
+def reference_data():
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference data not mounted")
+    return REFERENCE_DATA

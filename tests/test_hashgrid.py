@@ -1,0 +1,122 @@
+"""Hash-grid encoding numerics: shapes, dense-vs-hash indexing, interpolation
+exactness, and gradient correctness vs finite differences (SURVEY.md §7
+"hard parts" #1: the scatter-add backward is the correctness gate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    init_hashgrid_params,
+)
+
+
+def _cfg(**kw):
+    base = dict(n_dims=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=12, base_resolution=4, per_level_scale=1.5)
+    base.update(kw)
+    return HashGridConfig(**base)
+
+
+def test_output_shape_and_dtype():
+    cfg = _cfg()
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hashgrid_encode(cfg, table, pos)
+    assert out.shape == (64, cfg.n_levels * cfg.n_features_per_level)
+    assert out.dtype == jnp.float32
+
+
+def test_dense_level_interpolation_exact():
+    """On a dense level, encoding a lattice-aligned point returns exactly its
+    table entry; midpoints return the average of neighbors."""
+    cfg = HashGridConfig(n_dims=1, n_levels=1, n_features_per_level=1, log2_hashmap_size=8, base_resolution=5, per_level_scale=2.0)
+    assert cfg.level_is_dense(0)
+    res = cfg.level_resolution(0)
+    scale = cfg.level_scale(0)  # = 4
+    table = jnp.arange(cfg.table_size, dtype=jnp.float32).reshape(1, -1, 1)
+    # grid vertex k sits at pos = (k - 0.5)/scale  (pos*scale + 0.5 = k)
+    k = 2
+    pos = jnp.array([[(k - 0.5) / scale]])
+    out = hashgrid_encode(cfg, table, pos)
+    assert np.isclose(float(out[0, 0]), k)
+    # halfway between vertices 2 and 3
+    pos = jnp.array([[(k - 0.5 + 0.5) / scale]])
+    out = hashgrid_encode(cfg, table, pos)
+    assert np.isclose(float(out[0, 0]), k + 0.5)
+
+
+def test_auto_per_level_scale():
+    cfg = HashGridConfig.from_network_config(
+        {"otype": "HashGrid", "n_levels": 16, "base_resolution": 16}, n_dims=3, aabb_scale=1.0
+    )
+    # finest level should reach ~2048 cells
+    assert abs(cfg.level_scale(15) + 1 - 2048) / 2048 < 0.01
+
+
+def test_table_gradient_matches_fd():
+    cfg = _cfg(n_levels=2, log2_hashmap_size=6, base_resolution=3, per_level_scale=2.0)
+    key = jax.random.PRNGKey(3)
+    table = jax.random.normal(key, (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)) * 0.1
+    pos = jax.random.uniform(jax.random.PRNGKey(4), (8, 3), minval=0.05, maxval=0.95)
+    g_out = jax.random.normal(jax.random.PRNGKey(5), (8, cfg.n_output_dims))
+
+    def f(t):
+        return jnp.sum(hashgrid_encode(cfg, t, pos) * g_out)
+
+    grad = jax.grad(f)(table)
+    # finite differences on a random subset of entries
+    rng = np.random.default_rng(0)
+    eps = 1e-3
+    f0 = float(f(table))
+    for _ in range(12):
+        l = rng.integers(cfg.n_levels)
+        t_ = rng.integers(cfg.table_size)
+        c = rng.integers(cfg.n_features_per_level)
+        tp = table.at[l, t_, c].add(eps)
+        fd = (float(f(tp)) - f0) / eps
+        assert np.isclose(fd, float(grad[l, t_, c]), atol=2e-2), (l, t_, c)
+
+
+def test_position_gradient_matches_fd():
+    cfg = _cfg(n_levels=3, base_resolution=4, per_level_scale=1.6)
+    table = jax.random.normal(jax.random.PRNGKey(7), (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)) * 0.5
+    pos = jnp.array([[0.33, 0.41, 0.77], [0.1, 0.9, 0.5]])
+    g_out = jax.random.normal(jax.random.PRNGKey(8), (2, cfg.n_output_dims))
+
+    def f(p):
+        return jnp.sum(hashgrid_encode(cfg, table, p) * g_out)
+
+    grad = jax.grad(f)(pos)
+    eps = 1e-4
+    for i in range(2):
+        for d in range(3):
+            pp = pos.at[i, d].add(eps)
+            pm = pos.at[i, d].add(-eps)
+            fd = (float(f(pp)) - float(f(pm))) / (2 * eps)
+            assert np.isclose(fd, float(grad[i, d]), rtol=2e-2, atol=1e-3), (i, d)
+
+
+def test_2d_mode():
+    cfg = _cfg(n_dims=2, n_levels=3)
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (16, 2))
+    out = hashgrid_encode(cfg, table, pos)
+    assert out.shape == (16, 6)
+    # differentiable end-to-end
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(cfg, t, pos) ** 2))(table)
+    assert g.shape == table.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_hash_level_spreads_indices():
+    cfg = _cfg(n_levels=6, log2_hashmap_size=10, base_resolution=16, per_level_scale=2.0)
+    level = cfg.n_levels - 1
+    assert not cfg.level_is_dense(level)
+    table = jnp.zeros((cfg.n_levels, cfg.table_size, cfg.n_features_per_level))
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (512, 3))
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(cfg, t, pos)))(table)
+    touched = int(jnp.sum(jnp.any(g[level] != 0, axis=-1)))
+    # 512 points x 8 corners should touch a large fraction of a 1024-slot table
+    assert touched > 600
