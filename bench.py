@@ -1,0 +1,76 @@
+"""Benchmark: NeRF render throughput (rays/sec/chip) on the fox scene.
+
+Protocol: train the reference fox dataset briefly (so the occupancy grid is
+realistic — empty-space skipping is the whole game), then time full-frame
+renders.  Baseline constant: upstream instant-ngp renders 1920x1080 in
+"tens of milliseconds" on an RTX 3090 (docs/index.html:327) — 2.07M rays /
+30 ms ~= 6.9e7 rays/s.  vs_baseline > 1 means faster than that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+FOX = "/root/reference/data/nerf/fox"
+BASELINE_RAYS_PER_SEC = 6.9e7
+
+
+def main():
+    t_start = time.time()
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+    from sienerf_tpu.utils.config import load_network_config
+
+    ds = load_nerf_dataset(FOX, downscale=4, max_images=24)
+    cfg = load_network_config("/root/reference/configs/nerf/base.json")
+    eng = NerfEngine.create(cfg, ds, train_batch_size=1 << 18)
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+
+    n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    for i in range(n_bundles):  # 24 bundles x 16 = 384 steps
+        key, sub = jax.random.split(key)
+        state, loss, cnt = eng.train_bundle(state, sub)
+    loss = float(loss)
+    print(f"# trained {n_bundles * eng.grid_interval} steps, loss={loss:.4f}, "
+          f"samples/ray={float(cnt):.1f}, t={time.time() - t_start:.0f}s", file=sys.stderr)
+
+    from sienerf_tpu.ops.optim import inference_params
+
+    params = inference_params(state["opt"], state["params"])
+    bf = state["occ"]["bitfield"]
+    W, H = 1920, 1088
+    fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # undo downscale: native focal
+    cam = eng.xforms[0]
+
+    # warmup/compile
+    rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 15)
+    rgba.block_until_ready()
+
+    n_frames = 3
+    t0 = time.time()
+    for _ in range(n_frames):
+        rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 15)
+    rgba.block_until_ready()
+    dt = (time.time() - t0) / n_frames
+    rays_per_sec = W * H / dt
+    print(f"# render {W}x{H}: {dt * 1e3:.1f} ms/frame, opacity_mean={float(rgba[..., 3].mean()):.3f}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "nerf_render_rays_per_sec",
+        "value": rays_per_sec,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_sec / BASELINE_RAYS_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,296 @@
+"""Geometry mode: hybrid mesh + NeRF scene rendering — the fork's signature
+capability (SURVEY.md §2.6).
+
+Behavioral spec: reference testbed_geometry_training.cu —
+  load_scene (:3101-3210): JSON {"geometry":[{center, path, type}]};
+  meshes normalized to the unit cube + center offset, NeRFs loaded from
+  snapshots; scene AABB grows to cover all objects;
+  mesh pass (:2202-2319): BVH raytrace -> shadow rays toward sun ->
+  Disney-BRDF shade with ambient irradiance term; writes color+depth;
+  NeRF pass (:2326-2548, 1826-1871): march the NeRF, depth-test each
+  fragment against the mesh depth buffer, alpha-blend over the frame.
+
+TPU design: all mesh triangles merge into ONE global BVH with per-triangle
+object ids (the reference's two-level BVH is a build-convenience for
+incremental scenes; a merged BVH traverses faster and keeps the traversal
+kernel identical to the SDF one).  The top-level object table survives for
+the API and for NeRF objects.  The NeRF pass clamps each ray's far bound to
+the mesh depth, which is strictly better than the reference's post-hoc
+fragment depth test (no wasted marching behind meshes).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+from sienerf_tpu.geom.bvh import TriangleBVH, build_bvh, bvh_raytrace
+from sienerf_tpu.geom.mesh_io import load_mesh, normalize_to_unit_cube, triangle_normals
+from sienerf_tpu.ops.brdf import (
+    BRDFParams,
+    SUN_COLOR,
+    checkerboard_floor_color,
+    evaluate_shading,
+    sky_ambient,
+)
+from sienerf_tpu.utils import log
+from sienerf_tpu.utils.bbox import BoundingBox
+from sienerf_tpu.utils.camera import uv_to_ray
+
+
+@dataclass
+class GeometryObject:
+    kind: str  # "mesh" | "nerf"
+    center: np.ndarray
+    path: str
+    tri_range: tuple = (0, 0)  # triangle slice in the merged BVH (mesh)
+    nerf: object = None  # NerfEngine for nerf objects
+    nerf_state: dict | None = None
+
+
+@dataclass(eq=False)
+class GeometryEngine:
+    objects: list
+    bvh_dev: dict | None
+    tri_normals: jnp.ndarray | None
+    tri_obj_id: jnp.ndarray | None
+    aabb: BoundingBox
+    brdf: BRDFParams = field(default_factory=BRDFParams)
+    sun_dir: tuple = (0.577, 0.577, 0.577)
+    up_dir: tuple = (0.0, 1.0, 0.0)
+    floor_y: float | None = None
+    # irradiance source for the ambient term: "constant" | "envmap" | "grid"
+    shade_mode: str = "constant"
+    envmap: jnp.ndarray | None = None  # (H,W,4) lat-long irradiance map
+    probe_grid: dict | None = None  # set by irradiance.bake_probe_grid
+
+    # --- scene loading ----------------------------------------------------
+
+    @staticmethod
+    def load_scene(path: str | Path, data_root: str | Path | None = None) -> "GeometryEngine":
+        """Parse the scene-graph JSON.  Paths are resolved against the JSON's
+        directory and `data_root` (absolute author paths in the reference
+        scenes get their basename resolved locally)."""
+        path = Path(path)
+        spec = json.loads(path.read_text())
+        roots = [path.parent] + ([Path(data_root)] if data_root else [])
+        objects: list[GeometryObject] = []
+        all_tris = []
+        all_obj_id = []
+        n_tris = 0
+        aabb = BoundingBox.unit()
+        for entry in spec.get("geometry", []):
+            center = np.asarray(entry.get("center", [0, 0, 0]), np.float32)
+            kind = entry.get("type", "Mesh").lower()
+            p = _resolve_path(entry["path"], roots)
+            if kind == "mesh":
+                tri = load_mesh(p)
+                tri = normalize_to_unit_cube(tri)
+                tri = tri + center  # center offset in NGP world units
+                obj = GeometryObject("mesh", center, str(p), (n_tris, n_tris + len(tri)))
+                all_tris.append(tri)
+                all_obj_id.append(np.full(len(tri), len(objects), np.int32))
+                n_tris += len(tri)
+                lo = tri.reshape(-1, 3).min(axis=0)
+                hi = tri.reshape(-1, 3).max(axis=0)
+                aabb = aabb.enlarged(BoundingBox(lo, hi))
+            elif kind == "nerf":
+                obj = GeometryObject("nerf", center, str(p))
+                aabb = aabb.enlarged(
+                    BoundingBox(center + 0.5 - 0.5, center + 0.5 + 0.5).inflated(0.0)
+                )
+            else:
+                raise ValueError(f"unknown geometry type {entry['type']}")
+            objects.append(obj)
+
+        bvh_dev = None
+        normals = None
+        obj_id = None
+        if all_tris:
+            tris = np.concatenate(all_tris).astype(np.float32)
+            obj_ids = np.concatenate(all_obj_id)
+            bvh = build_bvh(tris)
+            bvh_dev = bvh.as_device_arrays()
+            normals = jnp.asarray(triangle_normals(bvh.triangles))
+            obj_id = jnp.asarray(obj_ids[bvh.tri_index])
+        log.info(
+            f"geometry scene: {len(objects)} objects ({sum(o.kind == 'mesh' for o in objects)} meshes, "
+            f"{sum(o.kind == 'nerf' for o in objects)} nerfs), {n_tris} triangles, aabb={aabb.min}..{aabb.max}"
+        )
+        return GeometryEngine(
+            objects=objects,
+            bvh_dev=bvh_dev,
+            tri_normals=normals,
+            tri_obj_id=obj_id,
+            aabb=aabb.inflated(0.25),
+        )
+
+    def attach_nerf(self, index_or_path, nerf_engine, nerf_state) -> None:
+        """Bind a trained NerfEngine to a nerf scene object."""
+        for i, o in enumerate(self.objects):
+            if o.kind == "nerf" and (index_or_path in (i, o.path)):
+                o.nerf = nerf_engine
+                o.nerf_state = nerf_state
+                return
+        raise KeyError(index_or_path)
+
+    # --- mesh pass --------------------------------------------------------
+
+    def _ambient_for(self, pos, normals):
+        """The irradiance term: constant ambientcolor (reference WIP state),
+        a single baked envmap, or the probe grid (SURVEY.md §2.6 envmap-from-
+        NeRF, the fork's intended ShadeEnvMap/ShadeGridEnvMap modes)."""
+        up = jnp.asarray(self.up_dir)
+        if self.shade_mode == "envmap" and self.envmap is not None:
+            from sienerf_tpu.engines.irradiance import sample_envmap_irradiance
+
+            return sample_envmap_irradiance(self.envmap, normals)
+        if self.shade_mode == "grid" and self.probe_grid is not None:
+            from sienerf_tpu.engines.irradiance import sample_probe_grid
+
+            return sample_probe_grid(self.probe_grid, pos, normals)
+        return jnp.asarray(self.brdf.ambientcolor) * sky_ambient(normals, up)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def render_mesh_rays(self, origins, dirs):
+        """Mesh pass on a ray batch: returns (rgb, depth (inf=miss), hit)."""
+        dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        d = dirs / dn
+        t, tid, u, v = bvh_raytrace(self.bvh_dev, origins, d)
+        hit = tid >= 0
+        pos = origins + t[:, None] * d
+        normal = jnp.take(self.tri_normals, jnp.maximum(tid, 0), axis=0)
+        # face-forward
+        normal = normal * jnp.where(jnp.sum(normal * d, axis=-1, keepdims=True) > 0, -1.0, 1.0)
+
+        sun = jnp.asarray(self.sun_dir)
+        sun = sun / jnp.linalg.norm(sun)
+        # shadow pass: re-trace from the hit point toward the sun
+        spos = pos + normal * 1e-3
+        st, stid, _, _ = bvh_raytrace(self.bvh_dev, spos, jnp.broadcast_to(sun, spos.shape))
+        shadow = jnp.where(stid >= 0, 0.0, 1.0)
+        shadow = jnp.where(hit, shadow, 1.0)
+
+        base = jnp.asarray(self.brdf.basecolor) ** 2
+        base = jnp.broadcast_to(base, pos.shape)
+        if self.floor_y is not None:
+            on_floor = (pos[..., 1] < self.floor_y + 1e-3) & (d[..., 1] < 0)
+            floor_col = checkerboard_floor_color(pos, self.aabb.min, float(self.aabb.diag[0]))
+            base = jnp.where(on_floor[..., None], floor_col, base)
+            normal = jnp.where(on_floor[..., None], jnp.asarray([0.0, 1.0, 0.0]), normal)
+
+        amb = self._ambient_for(pos, normal)
+        suncol = SUN_COLOR * shadow[:, None]
+        color = evaluate_shading(
+            base,
+            amb,
+            suncol,
+            jnp.broadcast_to(sun, pos.shape),
+            -d,
+            normal,
+            metallic=self.brdf.metallic,
+            subsurface=self.brdf.subsurface,
+            specular=self.brdf.specular,
+            roughness=self.brdf.roughness,
+            sheen=self.brdf.sheen,
+            clearcoat=self.brdf.clearcoat,
+            clearcoat_gloss=self.brdf.clearcoat_gloss,
+        )
+        depth = jnp.where(hit, t * dn[:, 0], jnp.inf)
+        return color, depth, hit
+
+    # --- hybrid frame -----------------------------------------------------
+
+    def render_frame(
+        self,
+        width: int,
+        height: int,
+        camera_matrix,
+        focal_length,
+        background=(1.0, 1.0, 1.0),
+        tile: int = 1 << 14,
+    ):
+        """Hybrid composition: mesh pass writes color+depth; each NeRF object
+        is then marched with t_far clamped to the mesh depth and alpha-
+        blended over (reference depth test testbed_geometry_training.cu:
+        1843-1871)."""
+        n = width * height
+        n_pad = ((n + tile - 1) // tile) * tile
+        idx = np.arange(n_pad)
+        px = (idx % width).astype(np.float32)
+        py = np.minimum(idx // width, height - 1).astype(np.float32)
+        uv = jnp.asarray(np.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1), jnp.float32)
+        o, d = uv_to_ray(uv, (width, height), focal_length, jnp.asarray(camera_matrix, jnp.float32))
+
+        rgb_out = np.zeros((n_pad, 3), np.float32)
+        depth_out = np.full((n_pad,), np.inf, np.float32)
+        alpha_out = np.zeros((n_pad,), np.float32)
+        for i in range(0, n_pad, tile):
+            oo, dd = o[i : i + tile], d[i : i + tile]
+            if self.bvh_dev is not None:
+                rgb, depth, hit = self.render_mesh_rays(oo, dd)
+            else:
+                rgb = jnp.zeros((tile, 3))
+                depth = jnp.full((tile,), jnp.inf)
+                hit = jnp.zeros((tile,), bool)
+            rgb = jnp.where(hit[:, None], rgb, 0.0)
+            alpha = hit.astype(jnp.float32)
+
+            for obj in self.objects:
+                if obj.kind != "nerf" or obj.nerf is None:
+                    continue
+                rgb, depth, alpha = self._blend_nerf_object(obj, oo, dd, rgb, depth, alpha)
+
+            rgb_out[i : i + tile] = np.asarray(rgb)
+            depth_out[i : i + tile] = np.asarray(depth)
+            alpha_out[i : i + tile] = np.asarray(alpha)
+
+        bg = np.asarray(background, np.float32)
+        rgb_out = rgb_out + (1.0 - alpha_out)[:, None] * bg
+        rgba = np.concatenate([rgb_out, alpha_out[:, None]], axis=-1)[:n]
+        return rgba.reshape(height, width, 4), depth_out[:n].reshape(height, width)
+
+    def _blend_nerf_object(self, obj, origins, dirs, rgb_buf, depth_buf, alpha_buf):
+        """March one NeRF object (rays shifted into its local frame) and
+        depth-tested alpha-blend the result over the buffers."""
+        eng = obj.nerf
+        from sienerf_tpu.ops.optim import inference_params
+
+        params = inference_params(obj.nerf_state["opt"], obj.nerf_state["params"])
+        bf = obj.nerf_state["occ"]["bitfield"]
+        center = jnp.asarray(obj.center, jnp.float32)
+        o_local = origins - center
+        # clamp the NeRF march at the mesh surface: fragments behind the mesh
+        # are never generated (strictly better than the reference's post-hoc
+        # per-fragment depth test, same visible result)
+        nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
+            params, bf, o_local, dirs, near=NERF_RENDERING_NEAR_DISTANCE, t_cap=depth_buf
+        )
+        nerf_depth_world = nerf_depth
+        in_front = (nerf_op > 0.0) & (nerf_depth_world < depth_buf)
+        a = jnp.where(in_front, nerf_op, 0.0)
+        # NeRF fragment composited over the existing frame: fb = nerf + fb*(1-a)
+        rgb = jnp.where(in_front[:, None], nerf_rgb + rgb_buf * (1.0 - a[:, None]), rgb_buf)
+        alpha = jnp.where(in_front, a + alpha_buf * (1.0 - a), alpha_buf)
+        # reference: overwrite depth when the fragment is solid (alpha>0.2)
+        depth = jnp.where(in_front & (a > 0.2), nerf_depth_world, depth_buf)
+        return rgb, depth, alpha
+
+
+def _resolve_path(p: str, roots) -> Path:
+    cand = Path(p)
+    if cand.exists():
+        return cand
+    name = cand.name
+    for root in roots:
+        for probe in (root / p, root / name, root / "objs" / name, root / "geometry" / "objs" / name):
+            if probe.exists():
+                return probe
+    raise FileNotFoundError(f"cannot resolve scene asset {p}")

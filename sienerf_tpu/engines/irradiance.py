@@ -1,0 +1,227 @@
+"""Surface irradiance estimation from a NeRF — the fork's research goal,
+completed (the reference declares but never implements it:
+`computeEnvmap`/`computeEnvmapMultiple`/`computeEnvmapGrid`, testbed.h:
+709-743, called from main.cu:184-188; only the spherical ray initializers
+exist, testbed_nerf.cu:1559-1773, which are the behavioral spec for the
+ray spawning here).
+
+Pipeline:
+  1. `render_envmap`: spawn a lat-long grid of rays from a probe origin and
+     march the NeRF -> radiance environment map (the single-origin
+     `computeEnvmap`).
+  2. `render_envmap_multi`: average over Halton-jittered origins
+     (`computeEnvmapMultiple`).
+  3. `bake_probe_grid`: a gridSize^3 lattice of probes over the scene AABB
+     (`computeEnvmapGrid` + m_geometry.gridSize).  Instead of storing raw
+     env textures per probe (the reference's declared plan), each probe is
+     projected to 9 spherical-harmonic coefficients per channel — the
+     standard irradiance representation (Ramamoorthi & Hanrahan 2001) —
+     which makes the grid trilinearly interpolable and tiny.
+  4. Shading hooks (`sample_envmap_irradiance`, `sample_probe_grid`) feed
+     the Disney-BRDF ambient term (ShadeEnvMap / ShadeGridEnvMap render
+     modes, common.h:58-72), replacing the constant `ambientcolor`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.ops.grids import bilinear_sample_2d
+from sienerf_tpu.ops.optim import inference_params
+from sienerf_tpu.ops.samplers import halton_2d
+from sienerf_tpu.utils.camera import dir_to_latlong_uv, latlong_to_dir
+
+
+def _latlong_dirs(width: int, height: int) -> jnp.ndarray:
+    """(H*W, 3) directions for envmap texel centers (envmap.cuh lat-long)."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")
+    return latlong_to_dir(uu, vv).reshape(-1, 3)
+
+
+def _latlong_solid_angles(width: int, height: int) -> jnp.ndarray:
+    """Per-texel solid angle: dOmega = cos(theta) * (pi/H) * (2pi/W)."""
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    theta = (v - 0.5) * math.pi
+    w = jnp.cos(theta) * (math.pi / height) * (2.0 * math.pi / width)
+    return jnp.tile(w[:, None], (1, width)).reshape(-1)
+
+
+def render_envmap(nerf_engine, state, origin, width: int = 64, height: int = 32, chunk: int = 8192):
+    """March the NeRF outward from `origin` along a lat-long direction grid.
+
+    Returns (H, W, 4) radiance+opacity.  Spec: init_rays_in_sphere kernels
+    (testbed_nerf.cu:1559-1673): theta x phi grid from a point, rays march
+    the scene volume.
+    """
+    params = inference_params(state["opt"], state["params"])
+    bf = state["occ"]["bitfield"]
+    dirs = _latlong_dirs(width, height)
+    n = dirs.shape[0]
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (n, 3))
+    rgbs, ops = [], []
+    for i in range(0, n, chunk):
+        o = origin[i : i + chunk]
+        d = dirs[i : i + chunk]
+        rgb, op, _ = nerf_engine.render_rays(params, bf, o, d, near=0.0)
+        rgbs.append(rgb)
+        ops.append(op)
+    rgb = jnp.concatenate(rgbs)
+    op = jnp.concatenate(ops)
+    return jnp.concatenate([rgb, op[:, None]], axis=-1).reshape(height, width, 4)
+
+
+def render_envmap_multi(
+    nerf_engine, state, origin, n_origins: int = 8, radius: float = 0.05,
+    width: int = 64, height: int = 32,
+):
+    """Average envmaps over Halton-jittered origins around `origin`
+    (computeEnvmapMultiple: multi-origin Halton set, testbed_nerf.cu:
+    1676-1773)."""
+    h2 = np.asarray(halton_2d(jnp.arange(1, n_origins + 1)))
+    # lift the 2D halton set onto a sphere of `radius`
+    phi = 2 * np.pi * h2[:, 0]
+    ct = 2 * h2[:, 1] - 1
+    st = np.sqrt(np.maximum(1 - ct * ct, 0))
+    offsets = radius * np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], axis=-1)
+    acc = None
+    for off in offsets:
+        em = render_envmap(nerf_engine, state, np.asarray(origin) + off, width, height)
+        acc = em if acc is None else acc + em
+    return acc / n_origins
+
+
+# --- irradiance from an envmap ----------------------------------------------
+
+
+def irradiance_from_envmap(envmap: jnp.ndarray) -> jnp.ndarray:
+    """Diffuse-convolve a radiance envmap: E(n) = sum L(w) max(0, n.w) dOmega / pi.
+
+    Returns an (H, W, 3) irradiance map indexed by normal direction."""
+    H, W = envmap.shape[:2]
+    dirs = _latlong_dirs(W, H)  # (HW, 3)
+    sa = _latlong_solid_angles(W, H)  # (HW,)
+    L = envmap.reshape(-1, 4)[:, :3]
+    weighted = L * sa[:, None]
+    cos = jnp.maximum(dirs @ dirs.T, 0.0)  # (HW, HW): n.w for every (normal, light) pair
+    E = (cos @ weighted) / math.pi
+    return E.reshape(H, W, 3)
+
+
+def sample_envmap_irradiance(irradiance_map: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
+    """Ambient term for surface normals from a pre-convolved irradiance map."""
+    uv = dir_to_latlong_uv(normals)
+    return bilinear_sample_2d(irradiance_map[..., :3], uv)
+
+
+# --- SH probe grid ------------------------------------------------------------
+
+_SH_C = (
+    0.282095,  # l=0
+    0.488603,  # l=1 (x3)
+    1.092548,  # l=2 xy/yz/xz
+    0.315392,  # l=2 (3z^2-1)
+    0.546274,  # l=2 (x^2-y^2)
+)
+_SH_A = (math.pi, 2.0 * math.pi / 3.0, math.pi / 4.0)  # cosine-lobe convolution
+
+
+def sh9_basis(d: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack(
+        [
+            jnp.full_like(x, _SH_C[0]),
+            _SH_C[1] * y,
+            _SH_C[1] * z,
+            _SH_C[1] * x,
+            _SH_C[2] * x * y,
+            _SH_C[2] * y * z,
+            _SH_C[3] * (3 * z * z - 1.0),
+            _SH_C[2] * x * z,
+            _SH_C[4] * (x * x - y * y),
+        ],
+        axis=-1,
+    )
+
+
+def sh_project_envmap(envmap: jnp.ndarray) -> jnp.ndarray:
+    """Radiance envmap -> (9, 3) SH coefficients."""
+    H, W = envmap.shape[:2]
+    dirs = _latlong_dirs(W, H)
+    sa = _latlong_solid_angles(W, H)
+    Y = sh9_basis(dirs)  # (HW, 9)
+    L = envmap.reshape(-1, 4)[:, :3]
+    return jnp.einsum("nk,nc,n->kc", Y, L, sa)
+
+
+def sh_irradiance(coeffs: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate irradiance for normals from SH radiance coeffs ([...,9,3])."""
+    Y = sh9_basis(normals)  # (...,9)
+    A = jnp.asarray([_SH_A[0]] + [_SH_A[1]] * 3 + [_SH_A[2]] * 5)
+    return jnp.maximum(jnp.einsum("...k,k,...kc->...c", Y, A, coeffs) / math.pi, 0.0)
+
+
+def bake_probe_grid(
+    nerf_engine,
+    state,
+    aabb_min,
+    aabb_max,
+    grid_size: int = 4,
+    env_width: int = 32,
+    env_height: int = 16,
+    center_offset=(0.0, 0.0, 0.0),
+) -> dict:
+    """computeEnvmapGrid: a lattice of gridSize^3 probes across the scene
+    box, each baked to SH irradiance coefficients.
+
+    Returns {"coeffs": (G,G,G,9,3), "min", "max"} for trilinear sampling.
+    """
+    g = grid_size
+    lin = [np.linspace(aabb_min[i], aabb_max[i], g + 2)[1:-1] for i in range(3)]
+    coeffs = np.zeros((g, g, g, 9, 3), np.float32)
+    off = np.asarray(center_offset, np.float32)
+    for ix in range(g):
+        for iy in range(g):
+            for iz in range(g):
+                origin = np.asarray([lin[0][ix], lin[1][iy], lin[2][iz]], np.float32) - off
+                em = render_envmap(nerf_engine, state, origin, env_width, env_height)
+                coeffs[ix, iy, iz] = np.asarray(sh_project_envmap(em))
+    return {
+        "coeffs": jnp.asarray(coeffs),
+        "min": jnp.asarray(aabb_min, jnp.float32),
+        "max": jnp.asarray(aabb_max, jnp.float32),
+    }
+
+
+def sample_probe_grid(probe_grid: dict, pos: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly interpolate probe SH coeffs at `pos`, evaluate at `normals`
+    (ShadeGridEnvMap)."""
+    coeffs = probe_grid["coeffs"]  # (G,G,G,9,3)
+    g = coeffs.shape[0]
+    rel = (pos - probe_grid["min"]) / jnp.maximum(probe_grid["max"] - probe_grid["min"], 1e-9)
+    x = jnp.clip(rel * g - 0.5, 0.0, g - 1.0)
+    x0 = jnp.floor(x)
+    f = x - x0
+    x0 = x0.astype(jnp.int32)
+    out = None
+    flat = coeffs.reshape(g * g * g, 27)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                xi = jnp.clip(x0[..., 0] + dx, 0, g - 1)
+                yi = jnp.clip(x0[..., 1] + dy, 0, g - 1)
+                zi = jnp.clip(x0[..., 2] + dz, 0, g - 1)
+                w = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                c = jnp.take(flat, (xi * g + yi) * g + zi, axis=0)
+                out = c * w[..., None] if out is None else out + c * w[..., None]
+    out = out.reshape(pos.shape[:-1] + (9, 3))
+    return sh_irradiance(out, normals)

@@ -1,0 +1,505 @@
+"""NeRF mode: hash-grid NeRF training + occupancy-accelerated rendering.
+
+Behavioral spec (SURVEY.md §2.2/§3.2/§3.3):
+- train:  testbed_nerf.cu `train_nerf`/`train_nerf_step` (:2949-3430) —
+  ray batch -> march vs bitfield -> fused fwd -> per-ray composite loss
+  (random background color, sRGB targets) -> optimizer step; occupancy grid
+  refresh every 16 steps (dense for the first 256 steps).
+- render: `render_nerf` (:2328-2642) — per-pixel rays, compaction marching
+  loop (8 steps between compactions), emission-absorption composite,
+  early-out at min transmittance.
+
+TPU design: everything is fixed-shape.  A "bundle" = `grid_interval` train
+steps in one `lax.scan` plus one occupancy update — a single dispatch, which
+matters because the TPU sits behind a high-latency tunnel.  Rendering tiles
+the frame into fixed ray blocks; the marching loop is a `lax.while_loop`
+whose termination is an on-device all-dead reduction (no host syncs, unlike
+the reference's per-round counter readback, testbed_nerf.cu:2075-2077).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+from sienerf_tpu.io.nerf_dataset import NerfDataset
+from sienerf_tpu.models.nerf_network import (
+    NerfNetworkConfig,
+    apply_density_activation,
+    apply_rgb_activation,
+    density_raw,
+    init_nerf_network,
+    nerf_apply,
+    nerf_l2_mask,
+)
+from sienerf_tpu.ops.losses import get_loss
+from sienerf_tpu.ops.occupancy import (
+    OccupancyConfig,
+    init_occupancy_state,
+    mark_untrained_cells,
+    n_cascades_for_aabb_scale,
+    update_density_grid,
+)
+from sienerf_tpu.ops.optim import OptimizerSpec, inference_params, optim_init, optim_step
+from sienerf_tpu.ops.raymarch import MarchConfig, cone_angle_for_aabb, composite_chunk, march_rays
+from sienerf_tpu.utils.bbox import BoundingBox
+from sienerf_tpu.utils.camera import Lens, uv_to_ray
+
+
+@dataclass(eq=False)  # identity hash: instances are static args to jit
+class NerfEngine:
+    net: NerfNetworkConfig
+    opt: OptimizerSpec
+    occ: OccupancyConfig
+    march: MarchConfig
+    aabb: BoundingBox
+    loss_otype: str = "Huber"
+    # training batch geometry: n_rays * samples_per_ray ~ reference batch 2^18
+    train_n_rays: int = 4096
+    train_k: int = 64
+    train_march_iters: int = 192
+    near_distance: float = 0.2  # reference m_nerf.training.near_distance
+    grid_interval: int = 16  # occupancy update cadence (testbed.cu:4412-4434)
+    dense_until: int = 256
+    dense_every_updates: int = 16
+    min_transmittance: float = 1e-4
+    render_chunk: int = 8  # samples between "compactions" (march config)
+    render_max_chunks: int = 160
+    # device-resident dataset (set by create())
+    images: jnp.ndarray | None = None
+    xforms: jnp.ndarray | None = None
+    focals: jnp.ndarray | None = None
+    principal_points: jnp.ndarray | None = None
+    resolution: tuple = (0, 0)
+    lens: Lens = field(default_factory=Lens)
+    visible_mask: jnp.ndarray | None = None
+
+    # --- construction -----------------------------------------------------
+
+    @staticmethod
+    def create(
+        network_config: dict,
+        dataset: NerfDataset,
+        train_batch_size: int = 1 << 18,
+        grid_size: int = 128,
+        train_k: int = 64,
+    ) -> "NerfEngine":
+        aabb_scale = dataset.aabb_scale
+        net = NerfNetworkConfig.from_network_config(
+            network_config,
+            aabb_scale=aabb_scale,
+            n_extra_dims=dataset.n_extra_learnable_dims,
+            hdr=dataset.is_hdr,
+        )
+        opt = OptimizerSpec.from_network_config(network_config.get("optimizer", {}))
+        n_casc = n_cascades_for_aabb_scale(aabb_scale)
+        occ = OccupancyConfig(n_cascades=n_casc, grid_size=grid_size)
+        march = MarchConfig(
+            n_cascades=n_casc, cone_angle=cone_angle_for_aabb(aabb_scale), grid_size=grid_size
+        )
+        aabb = BoundingBox.from_scale(aabb_scale)
+        n_rays = max(256, train_batch_size // train_k)
+        w, h = dataset.resolution
+        eng = NerfEngine(
+            net=net,
+            opt=opt,
+            occ=occ,
+            march=march,
+            aabb=aabb,
+            loss_otype=network_config.get("loss", {}).get("otype", "Huber"),
+            train_n_rays=n_rays,
+            train_k=train_k,
+            images=jnp.asarray(dataset.images),
+            xforms=jnp.asarray(dataset.xforms),
+            focals=jnp.asarray(dataset.focal_lengths),
+            principal_points=jnp.asarray(dataset.principal_points),
+            resolution=dataset.resolution,
+            lens=dataset.lens,
+        )
+        eng.visible_mask = jnp.asarray(
+            mark_untrained_cells(
+                occ,
+                dataset.xforms,
+                dataset.focal_lengths,
+                np.asarray([dataset.resolution] * dataset.n_images, np.float32),
+            )
+        )
+        return eng
+
+    def init(self, seed: int = 1337) -> dict:
+        key = jax.random.PRNGKey(seed)
+        params = init_nerf_network(key, self.net)
+        return {
+            "params": params,
+            "opt": optim_init(params, self.opt),
+            "occ": init_occupancy_state(self.occ),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    # --- shared pieces ----------------------------------------------------
+
+    def _density_fn(self, params):
+        def fn(unit_pos):
+            raw = density_raw(self.net, params, unit_pos)
+            return apply_density_activation(raw, self.net.density_activation)
+
+        return fn
+
+    def _aabb_times(self, origins, dirs, near):
+        tmin, tmax = self.aabb.ray_intersect(origins, dirs)
+        t0 = jnp.maximum(tmin, near)
+        t1 = jnp.maximum(tmax, t0)
+        return t0, t1
+
+    def _eval_samples(self, params, origins, dirs, ts, dts, counts):
+        """Evaluate the field at (N,K) marched samples; returns activated
+        rgb (N,K,3), density (N,K), valid (N,K)."""
+        N, K = ts.shape
+        valid = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1) < counts[:, None]
+        pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
+        unit = (pos - self.aabb.min) / self.aabb.diag
+        unit = jnp.clip(unit, 0.0, 1.0)
+        dirw = (dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1.0) * 0.5
+        dirw = jnp.broadcast_to(dirw[:, None, :], pos.shape)
+        rgb_raw, dens_raw = nerf_apply(
+            self.net, params, unit.reshape(-1, 3), dirw.reshape(-1, 3)
+        )
+        rgb = apply_rgb_activation(rgb_raw, self.net.rgb_activation).reshape(N, K, 3)
+        dens = apply_density_activation(dens_raw, self.net.density_activation).reshape(N, K)
+        dens = jnp.where(valid, dens, 0.0)
+        return rgb, dens, valid
+
+    # --- training ---------------------------------------------------------
+
+    def _sample_training_rays(self, key, n_rays=None):
+        """Uniform image + pixel sampling (error-map CDF sampling: see
+        importance_sampling.py, wired in by train bundles when enabled)."""
+        kimg, kpix, kbg = jax.random.split(key, 3)
+        n = n_rays or self.train_n_rays
+        w, h = self.resolution
+        img_idx = jax.random.randint(kimg, (n,), 0, self.images.shape[0])
+        pix = jax.random.uniform(kpix, (n, 2))
+        px = jnp.minimum((pix[:, 0] * w).astype(jnp.int32), w - 1)
+        py = jnp.minimum((pix[:, 1] * h).astype(jnp.int32), h - 1)
+        uv = jnp.stack([(px.astype(jnp.float32) + 0.5) / w, (py.astype(jnp.float32) + 0.5) / h], axis=-1)
+        xf = self.xforms[img_idx]
+        fl = self.focals[img_idx]
+        pp = self.principal_points[img_idx]
+        origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens)
+        flat = self.images.reshape(-1, 4)
+        target = jnp.take(flat, (img_idx * h + py) * w + px, axis=0)
+        bg = jax.random.uniform(kbg, (n, 3))
+        return origins, dirs, target, bg
+
+    def _loss_for_batch(self, params, occ_bitfield, key, n_rays=None):
+        origins, dirs, target, bg = self._sample_training_rays(key, n_rays)
+        dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs_n = dirs / dn
+        t0, t1 = self._aabb_times(origins, dirs_n, self.near_distance)
+        ts, dts, counts, _ = march_rays(
+            self.march, occ_bitfield, origins, dirs_n, t0, t1, self.train_k, self.train_march_iters
+        )
+        rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
+        T_in = jnp.ones(origins.shape[0], jnp.float32)
+        rgb_sum, opacity, T_out, _, _ = composite_chunk(
+            rgb, dens, ts, dts, valid, T_in, self.min_transmittance
+        )
+        pred = rgb_sum + T_out[:, None] * bg
+        gt = target[:, :3] * target[:, 3:4] + bg * (1.0 - target[:, 3:4])
+        loss_fn = get_loss(self.loss_otype)
+        per_elem = loss_fn(pred, gt)
+        return jnp.mean(per_elem), counts
+
+    def _train_one_step(self, state, key, n_rays=None, axis_name=None):
+        """One SGD step.  With `axis_name`, rays are sharded over that mesh
+        axis (key folded with the device index) and gradients are pmean'd —
+        pure data parallelism: the model (hash table + MLPs + bitfield) is
+        tiny and replicated, the ray batch is what scales (SURVEY.md §5.8)."""
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def loss_of(p):
+            loss, counts = self._loss_for_batch(p, state["occ"]["bitfield"], key, n_rays)
+            return loss, counts
+
+        (loss, counts), grads = jax.value_and_grad(loss_of, has_aux=True)(state["params"])
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        params, opt = optim_step(
+            self.opt, state["opt"], state["params"], grads, nerf_l2_mask(state["params"])
+        )
+        new_state = {**state, "params": params, "opt": opt, "step": state["step"] + 1}
+        return new_state, loss, jnp.mean(counts.astype(jnp.float32))
+
+    def _bundle_body(self, state, key, n_rays=None, axis_name=None):
+        kg, ks = jax.random.split(key)
+        state = self._occupancy_update(state, kg, axis_name)
+
+        def body(st, k):
+            st, loss, cnt = self._train_one_step(st, k, n_rays, axis_name)
+            return st, (loss, cnt)
+
+        keys = jax.random.split(ks, self.grid_interval)
+        state, (losses, counts) = jax.lax.scan(body, state, keys)
+        return state, jnp.mean(losses), jnp.mean(counts)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_bundle(self, state, key):
+        """grid_interval train steps (scanned) + one occupancy update.
+        Returns (state, mean_loss, mean_samples_per_ray)."""
+        return self._bundle_body(state, key)
+
+    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    def train_bundle_multichip(self, state, key, mesh):
+        """Data-parallel bundle over a `rays` mesh axis: params/occupancy
+        replicated, ray batch sharded, gradients psum'd over ICI — the
+        TPU-native replacement for the reference's CudaDevice replication
+        (testbed.cu:5523-5573)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n_local = max(256, self.train_n_rays // ndev)
+
+        def inner(state, key):
+            st, loss, cnt = self._bundle_body(state, key, n_rays=n_local, axis_name="rays")
+            return st, loss, cnt
+
+        f = shard_map(
+            inner, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P(), P()), check_vma=False
+        )
+        return f(state, key)
+
+    def _occupancy_update(self, state, key, axis_name=None):
+        step = state["step"]
+        dense_pred = (step < self.dense_until) | (
+            (state["occ"]["n_updates"] % self.dense_every_updates) == 0
+        )
+        if axis_name is not None:
+            # each chip samples different cells; union via max below
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        dfn = self._density_fn(state["params"])
+        amin = jnp.asarray(self.aabb.min)
+        adiag = jnp.asarray(self.aabb.diag)
+
+        def upd(dense):
+            def f(occ):
+                return update_density_grid(
+                    self.occ, occ, dfn, key, amin, adiag, self.visible_mask, dense=dense
+                )
+
+            return f
+
+        occ = jax.lax.cond(dense_pred, upd(True), upd(False), state["occ"])
+        if axis_name is not None:
+            occ = {
+                "density": jax.lax.pmax(occ["density"], axis_name),
+                "bitfield": jax.lax.pmax(
+                    occ["bitfield"].astype(jnp.int8), axis_name
+                ).astype(jnp.bool_),
+                "mean_density": jax.lax.pmean(occ["mean_density"], axis_name),
+                "n_updates": occ["n_updates"],
+            }
+        return {**state, "occ": occ}
+
+    # --- rendering --------------------------------------------------------
+
+    def render_rays(
+        self, params, bitfield, origins, dirs, near=NERF_RENDERING_NEAR_DISTANCE, t_cap=None
+    ):
+        """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
+
+        Marching loop: chunks of `render_chunk` samples between network
+        evals; on-device termination when every ray is dead.  `t_cap`
+        (optional, per-ray, in units of the unnormalized `dirs`) bounds the
+        march — used by the hybrid geometry pass to stop at mesh surfaces.
+        """
+        dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs_n = dirs / dn
+        t0, t1 = self._aabb_times(origins, dirs_n, near)
+        if t_cap is not None:
+            t1 = jnp.minimum(t1, t_cap * dn[:, 0])
+        N = origins.shape[0]
+
+        def cond(st):
+            i, t, T, _rgb, _op, _bw, _bt = st
+            alive = (T >= self.min_transmittance) & (t < t1)
+            return (i < self.render_max_chunks) & jnp.any(alive)
+
+        def body(st):
+            i, t, T, rgb_acc, op_acc, best_w, best_t = st
+            ts, dts, counts, t_end = march_rays(
+                self.march, bitfield, origins, dirs_n, t, t1, self.render_chunk, self.render_chunk * 3
+            )
+            rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
+            rgb_sum, opacity, T_out, bw, bt = composite_chunk(
+                rgb, dens, ts, dts, valid, T, self.min_transmittance
+            )
+            better = bw > best_w
+            return (
+                i + 1,
+                t_end,
+                T_out,
+                rgb_acc + rgb_sum,
+                op_acc + opacity,
+                jnp.where(better, bw, best_w),
+                jnp.where(better, bt, best_t),
+            )
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            t0,
+            jnp.ones((N,), jnp.float32),
+            jnp.zeros((N, 3), jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+        )
+        _, _, T, rgb, opacity, _, depth = jax.lax.while_loop(cond, body, init)
+        # depth is z-distance along the (unnormalized) view ray; convert to
+        # the reference's convention of depth along the camera axis via dn.
+        return rgb, opacity, depth * dn[:, 0]
+
+    @partial(jax.jit, static_argnums=(0, 3, 4, 7))
+    def render_frame(
+        self,
+        params,
+        bitfield,
+        width: int,
+        height: int,
+        camera_matrix,
+        focal_length,
+        tile: int = 1 << 14,
+        screen_center=(0.5, 0.5),
+        background=(0.0, 0.0, 0.0),
+    ):
+        """Render a full frame by scanning over fixed ray tiles.
+        Returns rgba (H,W,4) and depth (H,W)."""
+        n = width * height
+        n_pad = ((n + tile - 1) // tile) * tile
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        px = (idx % width).astype(jnp.float32)
+        py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+        o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, screen_center, self.lens)
+        o = o.reshape(-1, tile, 3)
+        d = d.reshape(-1, tile, 3)
+
+        def body(_, od):
+            oo, dd = od
+            rgb, opacity, depth = self.render_rays(params, bitfield, oo, dd)
+            return _, (rgb, opacity, depth)
+
+        _, (rgb, opacity, depth) = jax.lax.scan(body, None, (o, d))
+        rgb = rgb.reshape(n_pad, 3)[:n]
+        opacity = opacity.reshape(n_pad)[:n]
+        depth = depth.reshape(n_pad)[:n]
+        bg = jnp.asarray(background, jnp.float32)
+        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+        return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+    @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
+    def render_frame_multichip(
+        self,
+        params,
+        bitfield,
+        width: int,
+        height: int,
+        camera_matrix,
+        focal_length,
+        mesh,
+        tile: int = 1 << 13,
+        background=(0.0, 0.0, 0.0),
+    ):
+        """Frame render with rays sharded over the `rays` mesh axis; params
+        and bitfield replicated (the TPU equivalent of the reference's
+        multi-GPU render split, SURVEY.md §2.9)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n = width * height
+        chunk = ndev * tile
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        px = (idx % width).astype(jnp.float32)
+        py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+        o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, (0.5, 0.5), self.lens)
+        o = o.reshape(ndev, -1, tile, 3)
+        d = d.reshape(ndev, -1, tile, 3)
+
+        def inner(params, bitfield, oo, dd):
+            def body(_, od):
+                rgb, opacity, depth = self.render_rays(params, bitfield, od[0], od[1])
+                return _, (rgb, opacity, depth)
+
+            _, out = jax.lax.scan(body, None, (oo[0], dd[0]))
+            return jax.tree.map(lambda x: x[None], out)
+
+        f = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), P("rays"), P("rays")),
+            out_specs=P("rays"),
+            check_vma=False,
+        )
+        rgb, opacity, depth = f(params, bitfield, o, d)
+        rgb = rgb.reshape(-1, 3)[:n]
+        opacity = opacity.reshape(-1)[:n]
+        depth = depth.reshape(-1)[:n]
+        bg = jnp.asarray(background, jnp.float32)
+        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+        return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+    # --- evaluation -------------------------------------------------------
+
+    def eval_psnr(self, state, view_indices, spp_background=(0.0, 0.0, 0.0), downscale: int = 1):
+        """run.py-protocol PSNR: render at training cameras, compare vs GT
+        composited over the background (scripts/run.py:210-268)."""
+        params = inference_params(state["opt"], state["params"])
+        bf = state["occ"]["bitfield"]
+        w, h = self.resolution
+        rw, rh = w // downscale, h // downscale
+        psnrs = []
+        for vi in view_indices:
+            rgba, _ = self.render_frame(
+                params, bf, rw, rh, self.xforms[vi], tuple(np.asarray(self.focals[vi]) / downscale)
+            )
+            gt = np.asarray(self.images[vi])[::downscale, ::downscale]
+            bg = np.asarray(spp_background, np.float32)
+            gt_rgb = gt[..., :3] * gt[..., 3:4] + bg * (1.0 - gt[..., 3:4])
+            mse = float(np.mean((np.asarray(rgba[..., :3]) - gt_rgb) ** 2))
+            psnrs.append(-10.0 * math.log10(max(mse, 1e-12)))
+        return float(np.mean(psnrs)), psnrs
+
+
+def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens):
+    """Per-ray camera parameters (focal (N,2), principal (N,2), xform (N,3,4))."""
+    w, h = resolution
+    x = (uv[:, 0] - principal[:, 0]) * w / focal[:, 0]
+    y = (uv[:, 1] - principal[:, 1]) * h / focal[:, 1]
+    from sienerf_tpu.common import LensMode
+    from sienerf_tpu.utils.camera import (
+        iterative_opencv_fisheye_undistortion,
+        iterative_opencv_lens_undistortion,
+    )
+
+    if lens.mode == LensMode.OPENCV and lens.is_distorted:
+        x, y = iterative_opencv_lens_undistortion(lens.params, x, y)
+    elif lens.mode == LensMode.OPENCV_FISHEYE and lens.is_distorted:
+        x, y = iterative_opencv_fisheye_undistortion(lens.params, x, y)
+    dir_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    rot = xform[:, :3, :3]
+    dirs = jnp.einsum("nij,nj->ni", rot, dir_cam)
+    origins = xform[:, :3, 3]
+    return origins, dirs

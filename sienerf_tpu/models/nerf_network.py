@@ -1,0 +1,138 @@
+"""NerfNetwork: the two-branch density/color composite.
+
+Behavioral spec: reference include/neural-graphics-primitives/nerf_network.h
+(topology: pos -> HashGrid -> density MLP -> 16 wide; [SH(dir), extra] ++
+density feats -> rgb MLP -> 3; density = channel 0 of the density branch)
+and nerf_device.cuh:203-263 (output activations applied outside the MLPs:
+rgb Logistic for LDR / Exponential for HDR, density Exponential).
+
+TPU design: a pure-functional pytree of params; both branches are bf16
+matmul chains; the hash encoding is the custom-VJP gather op.  The 16-wide
+intermediate keeps the MXU-friendly (…,16)+(…,16)=32 rgb input layout of
+the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from sienerf_tpu.common import NerfActivation
+from sienerf_tpu.ops.encodings import sh_encode
+from sienerf_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid_params
+from sienerf_tpu.ops.mlp import MLPConfig, init_mlp_params, mlp_apply
+
+N_GEO_FEATURES = 16  # width of the density branch output (nerf_network.h:81-101)
+
+
+@dataclass(frozen=True)
+class NerfNetworkConfig:
+    grid: HashGridConfig
+    density_mlp: MLPConfig
+    rgb_mlp: MLPConfig
+    sh_degree: int = 4
+    n_extra_dims: int = 0  # latent appearance dims appended to dir encoding
+    rgb_activation: NerfActivation = NerfActivation.LOGISTIC
+    density_activation: NerfActivation = NerfActivation.EXPONENTIAL
+
+    @staticmethod
+    def from_network_config(
+        cfg: dict, aabb_scale: float = 1.0, n_extra_dims: int = 0, hdr: bool = False
+    ) -> "NerfNetworkConfig":
+        grid = HashGridConfig.from_network_config(cfg.get("encoding", {}), n_dims=3, aabb_scale=aabb_scale)
+        dir_enc = cfg.get("dir_encoding", {})
+        sh_degree = 4
+        for entry in dir_enc.get("nested", []):
+            if entry.get("otype", "").lower() == "sphericalharmonics":
+                sh_degree = int(entry.get("degree", 4))
+        density_mlp = MLPConfig.from_network_config(
+            cfg.get("network", {}), grid.n_output_dims, N_GEO_FEATURES
+        )
+        rgb_in = sh_degree**2 + n_extra_dims + N_GEO_FEATURES
+        rgb_mlp = MLPConfig.from_network_config(cfg.get("rgb_network", {}), rgb_in, 3)
+        return NerfNetworkConfig(
+            grid=grid,
+            density_mlp=density_mlp,
+            rgb_mlp=rgb_mlp,
+            sh_degree=sh_degree,
+            n_extra_dims=n_extra_dims,
+            rgb_activation=NerfActivation.EXPONENTIAL if hdr else NerfActivation.LOGISTIC,
+        )
+
+
+def init_nerf_network(key, config: NerfNetworkConfig) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "grid": init_hashgrid_params(k1, config.grid),
+        "density_mlp": init_mlp_params(k2, config.density_mlp),
+        "rgb_mlp": init_mlp_params(k3, config.rgb_mlp),
+    }
+
+
+def nerf_l2_mask(params: dict) -> dict:
+    return {
+        "grid": 0.0,
+        "density_mlp": [1.0 for _ in params["density_mlp"]],
+        "rgb_mlp": [1.0 for _ in params["rgb_mlp"]],
+    }
+
+
+def density_raw(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) -> jnp.ndarray:
+    """Raw (pre-activation) density for positions warped to [0,1]^3.
+
+    Reference NerfNetwork::density (nerf_network.h:270-354) — used by the
+    occupancy-grid updater, which wants log-space density.
+    """
+    feats = hashgrid_encode(config.grid, params["grid"], pos_unit)
+    out = mlp_apply(config.density_mlp, params["density_mlp"], feats)
+    return out[..., 0]
+
+
+def nerf_apply(
+    config: NerfNetworkConfig,
+    params: dict,
+    pos_unit: jnp.ndarray,
+    dir_unit_cube: jnp.ndarray,
+    extra: jnp.ndarray | None = None,
+):
+    """Full forward: (N,3) warped pos + (N,3) dirs warped to [0,1]^3.
+
+    Returns (rgb_raw (N,3), density_raw (N,)) — pre-activation, matching the
+    reference convention of applying network_to_rgb/density in the
+    compositing kernels.
+    """
+    feats = hashgrid_encode(config.grid, params["grid"], pos_unit)
+    geo = mlp_apply(config.density_mlp, params["density_mlp"], feats)
+    sh = sh_encode(dir_unit_cube, config.sh_degree)
+    parts = [sh]
+    if config.n_extra_dims:
+        if extra is None:
+            extra = jnp.zeros(pos_unit.shape[:-1] + (config.n_extra_dims,), jnp.float32)
+        parts.append(extra)
+    parts.append(geo)
+    rgb_in = jnp.concatenate(parts, axis=-1)
+    rgb = mlp_apply(config.rgb_mlp, params["rgb_mlp"], rgb_in)
+    return rgb, geo[..., 0]
+
+
+def apply_rgb_activation(raw: jnp.ndarray, act: NerfActivation) -> jnp.ndarray:
+    if act == NerfActivation.LOGISTIC:
+        return jax.nn.sigmoid(raw)
+    if act == NerfActivation.EXPONENTIAL:
+        return jnp.exp(jnp.clip(raw, -10.0, 10.0))
+    if act == NerfActivation.RELU:
+        return jax.nn.relu(raw)
+    return raw
+
+
+def apply_density_activation(raw: jnp.ndarray, act: NerfActivation) -> jnp.ndarray:
+    if act == NerfActivation.EXPONENTIAL:
+        # clamp for fp safety; reference uses expf(val) with fp16 inputs
+        return jnp.exp(jnp.clip(raw, -15.0, 15.0))
+    if act == NerfActivation.RELU:
+        return jax.nn.relu(raw)
+    if act == NerfActivation.LOGISTIC:
+        return jax.nn.sigmoid(raw)
+    return raw

@@ -105,40 +105,44 @@ def _corner_offsets(n_dims: int) -> np.ndarray:
     return np.array([[(c >> d) & 1 for d in range(n_dims)] for c in range(n)], np.uint32)
 
 
-def _level_indices(config: HashGridConfig, level: int, corner: jnp.ndarray) -> jnp.ndarray:
-    """corner: (N, 2^D, D) uint32 grid coords -> (N, 2^D) table indices."""
-    res = config.level_resolution(level)
-    if config.level_is_dense(level):
-        idx = corner[..., 0]
-        stride = 1
-        for d in range(1, config.n_dims):
-            stride *= res
-            idx = idx + corner[..., d] * jnp.uint32(stride)
-    else:
-        idx = corner[..., 0] * jnp.uint32(_PRIMES[0])
-        for d in range(1, config.n_dims):
-            idx = idx ^ (corner[..., d] * jnp.uint32(_PRIMES[d]))
-    return (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)
+def _level_tables(config: HashGridConfig):
+    """Per-level static data as arrays (scanned over, not unrolled)."""
+    scales = np.asarray([config.level_scale(l) for l in range(config.n_levels)], np.float32)
+    res = np.asarray([config.level_resolution(l) for l in range(config.n_levels)], np.uint32)
+    dense = np.asarray([config.level_is_dense(l) for l in range(config.n_levels)], bool)
+    return jnp.asarray(scales), jnp.asarray(res), jnp.asarray(dense)
 
 
-def _level_geometry(config: HashGridConfig, level: int, pos: jnp.ndarray):
-    """Shared fwd/bwd geometry: indices, weights, and per-dim weight grads."""
-    scale = config.level_scale(level)
-    res = config.level_resolution(level)
+def _level_geometry_dyn(config: HashGridConfig, scale, res, is_dense, pos):
+    """Traced per-level geometry (scale/res/is_dense are traced scalars):
+    returns idx (N,2^D), weights (N,2^D), per_dim (N,2^D,D), offs, scale."""
+    D = config.n_dims
     x = pos.astype(jnp.float32) * scale + 0.5
     x_floor = jnp.floor(x)
     frac = x - x_floor
-    base = jnp.clip(x_floor, 0.0, res - 1).astype(jnp.uint32)  # (N, D)
+    resf = res.astype(jnp.float32)
+    base = jnp.clip(x_floor, 0.0, resf - 1.0).astype(jnp.uint32)  # (N, D)
 
-    offs = jnp.asarray(_corner_offsets(config.n_dims))  # (2^D, D)
-    corner = jnp.minimum(base[:, None, :] + offs[None, :, :], jnp.uint32(res - 1))
-    idx = _level_indices(config, level, corner)  # (N, 2^D)
+    offs = jnp.asarray(_corner_offsets(D))  # (2^D, D)
+    corner = jnp.minimum(base[:, None, :] + offs[None, :, :], res - jnp.uint32(1))
 
-    # weights: prod_d (offs ? frac : 1-frac)
-    f = frac[:, None, :]  # (N, 1, D)
+    # both index schemes, selected per level (tcnn: dense stride when the
+    # level fits in the table, spatial hash otherwise)
+    stride_idx = corner[..., 0]
+    stride = jnp.uint32(1)
+    for d in range(1, D):
+        stride = stride * res
+        stride_idx = stride_idx + corner[..., d] * stride
+    hash_idx = corner[..., 0] * jnp.uint32(_PRIMES[0])
+    for d in range(1, D):
+        hash_idx = hash_idx ^ (corner[..., d] * jnp.uint32(_PRIMES[d]))
+    idx = jnp.where(is_dense, stride_idx, hash_idx)
+    idx = (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)
+
+    f = frac[:, None, :]
     per_dim = jnp.where(offs[None, :, :] == 1, f, 1.0 - f)  # (N, 2^D, D)
     w = jnp.prod(per_dim, axis=-1)  # (N, 2^D)
-    return idx, w, per_dim, offs, scale
+    return idx, w, per_dim, offs
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -146,50 +150,59 @@ def hashgrid_encode(config: HashGridConfig, table: jnp.ndarray, pos: jnp.ndarray
     """Encode positions. table: (L, T, F) fp32; pos: (N, D) in [0,1]^D.
 
     Returns (N, L*F) float32 features (cast downstream as needed).
+    Levels are processed with `lax.scan` (compile-time matters on TPU: an
+    unrolled 16-level fwd+bwd graph over multi-million-point batches blows
+    up XLA compile time).
     """
     out, _ = _encode_fwd_impl(config, table, pos)
     return out
 
 
 def _encode_fwd_impl(config: HashGridConfig, table, pos):
-    feats = []
-    for level in range(config.n_levels):
-        idx, w, _, _, _ = _level_geometry(config, level, pos)
-        tl = table[level]  # (T, F)
+    scales, res, dense = _level_tables(config)
+
+    def body(_, xs):
+        tl, scale, r, isd = xs
+        idx, w, _, _ = _level_geometry_dyn(config, scale, r, isd, pos)
         corner_feats = jnp.take(tl, idx, axis=0)  # (N, 2^D, F)
-        feats.append(jnp.sum(corner_feats * w[..., None], axis=1))  # (N, F)
-    out = jnp.concatenate(feats, axis=-1)
+        return None, jnp.sum(corner_feats * w[..., None], axis=1)  # (N, F)
+
+    _, feats = jax.lax.scan(body, None, (table, scales, res, dense))  # (L, N, F)
+    L, N, F = feats.shape
+    out = jnp.moveaxis(feats, 0, 1).reshape(N, L * F)
     return out, (table, pos)
 
 
 def _encode_bwd_impl(config: HashGridConfig, residuals, g):
     table, pos = residuals
     g = g.astype(jnp.float32)
+    L = config.n_levels
     F = config.n_features_per_level
-    d_table_levels = []
-    d_pos = jnp.zeros_like(pos, dtype=jnp.float32)
-    for level in range(config.n_levels):
-        idx, w, per_dim, offs, scale = _level_geometry(config, level, pos)
-        gl = g[:, level * F : (level + 1) * F]  # (N, F)
-        # table gradient: scatter-add w * g at idx
+    N = pos.shape[0]
+    g_levels = jnp.moveaxis(g.reshape(N, L, F), 1, 0)  # (L, N, F)
+    scales, res, dense = _level_tables(config)
+
+    def body(d_pos, xs):
+        tl, gl, scale, r, isd = xs
+        idx, w, per_dim, offs = _level_geometry_dyn(config, scale, r, isd, pos)
         contrib = w[..., None] * gl[:, None, :]  # (N, 2^D, F)
         d_tl = jnp.zeros((config.table_size, F), jnp.float32)
         d_tl = d_tl.at[idx.reshape(-1)].add(contrib.reshape(-1, F))
-        d_table_levels.append(d_tl)
-        # position gradient: d w / d pos_d = scale * prod_{k!=d} per_dim_k * (+1 if corner bit else -1)
-        corner_feats = jnp.take(table[level], idx, axis=0)  # (N, 2^D, F)
+        # position gradient
+        corner_feats = jnp.take(tl, idx, axis=0)
         fdotg = jnp.sum(corner_feats * gl[:, None, :], axis=-1)  # (N, 2^D)
-        sign = jnp.where(offs[None, :, :] == 1, 1.0, -1.0)  # (1, 2^D, D)
-        # prod over other dims = w_full / per_dim_d, computed stably via explicit product
+        sign = jnp.where(offs == 1, 1.0, -1.0)  # (2^D, D)
         for d in range(config.n_dims):
             others = [k for k in range(config.n_dims) if k != d]
-            if others:
-                prod_others = jnp.prod(per_dim[..., others], axis=-1)  # (N, 2^D)
-            else:
-                prod_others = jnp.ones_like(w)
-            dw_dpos = sign[..., d] * prod_others * scale
-            d_pos = d_pos.at[:, d].add(jnp.sum(fdotg * dw_dpos, axis=-1))
-    d_table = jnp.stack(d_table_levels, axis=0)
+            prod_others = (
+                jnp.prod(per_dim[..., others], axis=-1) if others else jnp.ones_like(w)
+            )
+            dw = sign[None, :, d] * prod_others * scale
+            d_pos = d_pos.at[:, d].add(jnp.sum(fdotg * dw, axis=-1))
+        return d_pos, d_tl
+
+    d_pos0 = jnp.zeros((N, pos.shape[1]), jnp.float32)
+    d_pos, d_table = jax.lax.scan(body, d_pos0, (table, g_levels, scales, res, dense))
     return d_table, d_pos.astype(pos.dtype)
 
 

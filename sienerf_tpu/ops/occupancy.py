@@ -1,0 +1,242 @@
+"""Multi-cascade occupancy grid for empty-space skipping.
+
+Behavioral spec: reference testbed_nerf.cu:74-332, 2772-2881
+(`update_density_grid_nerf`, `grid_to_bitfield`, `bitfield_max_pool`,
+`mark_untrained_density_grid`) and nerf_device.cuh:24-46 constants.
+
+Semantics preserved:
+- `n_cascades` grids of 128^3 cells; cascade m covers the box of side 2^m
+  centered at (0.5,)^3 (cascade 0 = unit cube).
+- Cells store EMA'd optical thickness `activated_density * MIN_CONE_STEPSIZE`
+  (decay 0.95); threshold for occupancy = min(mean_density, 0.01).
+- Coarser cascades additionally OR in a 2x max-pool of the finer cascade's
+  center region.
+- Cells never seen by any training camera are pinned to -1 (untrained).
+
+TPU design: the grid is a dense `(C,128,128,128)` fp32 pytree leaf; updates
+are one fused jit (sample positions -> density MLP -> scatter-max -> EMA ->
+threshold -> pooling).  Dense refresh every `dense_interval` updates plays
+the role of the reference's nonuniform occupied-cell resampling (which
+needs dynamic compaction that TPUs dislike); uniform sampling covers the
+rest of the time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.common import NERF_GRIDSIZE, NERF_MIN_OPTICAL_THICKNESS, MIN_CONE_STEPSIZE
+
+
+def n_cascades_for_aabb_scale(aabb_scale: float) -> int:
+    return 1 + max(0, int(math.ceil(math.log2(max(aabb_scale, 1.0)))))
+
+
+@dataclass(frozen=True)
+class OccupancyConfig:
+    n_cascades: int = 1
+    decay: float = 0.95
+    grid_size: int = NERF_GRIDSIZE
+
+
+def init_occupancy_state(config: OccupancyConfig) -> dict:
+    g = config.grid_size
+    c = config.n_cascades
+    return {
+        # density EMA; <0 means untrained/unseeable cell
+        "density": jnp.zeros((c, g, g, g), jnp.float32),
+        "bitfield": jnp.zeros((c, g, g, g), jnp.bool_),
+        "mean_density": jnp.zeros((), jnp.float32),
+        "n_updates": jnp.zeros((), jnp.int32),
+    }
+
+
+def cell_center(idx_xyz: jnp.ndarray, mip, grid_size: int = NERF_GRIDSIZE) -> jnp.ndarray:
+    """Grid index (...,3) + mip -> world position of cell center."""
+    scale = jnp.exp2(jnp.asarray(mip, jnp.float32))[..., None]
+    return ((idx_xyz.astype(jnp.float32) + 0.5) / grid_size - 0.5) * scale + 0.5
+
+
+def pos_to_cell(pos: jnp.ndarray, mip, grid_size: int = NERF_GRIDSIZE) -> jnp.ndarray:
+    """World position (...,3) -> integer grid coords at cascade `mip` (unclamped)."""
+    scale = jnp.exp2(jnp.asarray(mip, jnp.float32))
+    if scale.ndim == pos.ndim - 1:
+        scale = scale[..., None]
+    rel = (pos - 0.5) / scale + 0.5
+    return jnp.floor(rel * grid_size).astype(jnp.int32)
+
+
+def mip_from_pos(pos: jnp.ndarray, n_cascades: int) -> jnp.ndarray:
+    """Smallest cascade whose box contains pos (nerf_device.cuh mip_from_pos)."""
+    d = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # cascade m spans half-width 2^(m-1); need 2^(m-1) > d  =>  m = ceil(log2(2d)) for d>0.5
+    exponent = jnp.ceil(jnp.log2(jnp.maximum(2.0 * d, 1e-10)))
+    return jnp.clip(exponent, 0, n_cascades - 1).astype(jnp.int32)
+
+
+def mip_from_dt(dt: jnp.ndarray, n_cascades: int, grid_size: int = NERF_GRIDSIZE) -> jnp.ndarray:
+    """Coarsest cascade whose voxels are at least dt wide."""
+    exponent = jnp.ceil(jnp.log2(jnp.maximum(dt * grid_size, 1e-10)))
+    return jnp.clip(exponent, 0, n_cascades - 1).astype(jnp.int32)
+
+
+def occupancy_lookup(state_bitfield: jnp.ndarray, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
+    """bitfield: (C,G,G,G) bool; pos (...,3); mip (...,) -> occupied (...,) bool.
+
+    Out-of-grid positions report unoccupied.
+    """
+    g = state_bitfield.shape[1]
+    cell = pos_to_cell(pos, mip, g)
+    inb = jnp.all((cell >= 0) & (cell < g), axis=-1)
+    cc = jnp.clip(cell, 0, g - 1)
+    flat = state_bitfield.reshape(-1)
+    c_stride = g * g * g
+    idx = mip * c_stride + (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
+    return jnp.take(flat, idx) & inb
+
+
+def mark_untrained_cells(
+    config: OccupancyConfig,
+    xforms: np.ndarray,
+    focal_lengths: np.ndarray,
+    resolutions: np.ndarray,
+) -> jnp.ndarray:
+    """(C,G,G,G) bool mask of cells visible from >=1 training camera.
+
+    Reference mark_untrained_density_grid (testbed_nerf.cu:74-146): a cell is
+    trainable if its center (conservatively inflated by half a diagonal)
+    projects inside some camera's image plane in front of the camera.
+    """
+    g = config.grid_size
+    idx = np.stack(np.meshgrid(np.arange(g), np.arange(g), np.arange(g), indexing="ij"), axis=-1)
+    masks = []
+    xforms = np.asarray(xforms, np.float32)
+    R = xforms[:, :3, :3]  # (N,3,3) columns are camera axes
+    t = xforms[:, :3, 3]  # (N,3)
+    for m in range(config.n_cascades):
+        centers = ((idx + 0.5) / g - 0.5) * (2.0**m) + 0.5  # (g,g,g,3)
+        half_diag = 0.5 * math.sqrt(3.0) * (2.0**m) / g
+        pts = centers.reshape(-1, 3)
+        visible = np.zeros(pts.shape[0], bool)
+        for ci in range(xforms.shape[0]):
+            rel = pts - t[ci]  # world offset
+            cam = rel @ R[ci]  # into camera frame (columns orthonormal)
+            z = cam[:, 2]
+            fx, fy = focal_lengths[ci]
+            w, h = resolutions[ci] if resolutions.ndim > 1 else resolutions
+            margin = half_diag
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x = cam[:, 0] / np.maximum(z, 1e-9)
+                y = cam[:, 1] / np.maximum(z, 1e-9)
+            vis = (
+                (z + margin > 0.0)
+                & (np.abs(x) * fx <= 0.5 * w + margin * fx / np.maximum(z, 1e-9) + 1)
+                & (np.abs(y) * fy <= 0.5 * h + margin * fy / np.maximum(z, 1e-9) + 1)
+            )
+            visible |= vis
+            if visible.all():
+                break
+        masks.append(visible.reshape(g, g, g))
+    return jnp.asarray(np.stack(masks))
+
+
+def _eval_chunked(fn, x: jnp.ndarray, chunk: int = 1 << 18) -> jnp.ndarray:
+    """Apply fn over x in fixed chunks via lax.map (compile the body once —
+    a single 2M-point fused graph makes XLA compile times explode)."""
+    n = x.shape[0]
+    if n <= chunk:
+        return fn(x)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    out = jax.lax.map(fn, xp.reshape(n_chunks, chunk, x.shape[1]))
+    return out.reshape(-1)[:n]
+
+
+def _sample_cell_positions(key, cascade: int, cell_idx: jnp.ndarray, grid_size: int):
+    """Random position inside each cell of `cascade`. cell_idx: (M,3) int."""
+    u = jax.random.uniform(key, cell_idx.shape)
+    scale = 2.0**cascade
+    return ((cell_idx.astype(jnp.float32) + u) / grid_size - 0.5) * scale + 0.5
+
+
+def update_density_grid(
+    config: OccupancyConfig,
+    state: dict,
+    density_fn,
+    key,
+    aabb_min: jnp.ndarray,
+    aabb_diag: jnp.ndarray,
+    visible_mask: jnp.ndarray | None = None,
+    dense: bool = False,
+    n_samples_per_cascade: int = NERF_GRIDSIZE**3 // 4,
+):
+    """One occupancy update.  density_fn: (M,3) unit-warped pos -> activated density.
+
+    Returns new state.  `dense=True` refreshes every cell (used for the first
+    256 steps and periodically after, standing in for the reference's
+    occupied-cell resampling).
+    """
+    g = config.grid_size
+    c = config.n_cascades
+    n_cells = g * g * g
+    density = state["density"]
+
+    if dense:
+        keys = jax.random.split(key, c)
+        new_vals = []
+        for m in range(c):
+            idx = jnp.stack(
+                jnp.meshgrid(jnp.arange(g), jnp.arange(g), jnp.arange(g), indexing="ij"), axis=-1
+            ).reshape(-1, 3)
+            pos = _sample_cell_positions(keys[m], m, idx, g)
+            unit = (pos - aabb_min) / aabb_diag
+            d = _eval_chunked(density_fn, unit) * MIN_CONE_STEPSIZE
+            new_vals.append(d.reshape(g, g, g))
+        splat = jnp.stack(new_vals)
+        density = jnp.maximum(density * config.decay, splat)
+    else:
+        keys = jax.random.split(key, 2 * c)
+        density = density * config.decay
+        for m in range(c):
+            kidx, kpos = keys[2 * m], keys[2 * m + 1]
+            flat_idx = jax.random.randint(kidx, (n_samples_per_cascade,), 0, n_cells)
+            idx3 = jnp.stack([flat_idx // (g * g), (flat_idx // g) % g, flat_idx % g], axis=-1)
+            pos = _sample_cell_positions(kpos, m, idx3, g)
+            unit = (pos - aabb_min) / aabb_diag
+            d = _eval_chunked(density_fn, unit) * MIN_CONE_STEPSIZE
+            dm = density[m].reshape(-1)
+            dm = dm.at[flat_idx].max(d)
+            density = density.at[m].set(dm.reshape(g, g, g))
+
+    if visible_mask is not None:
+        density = jnp.where(visible_mask, density, -1.0)
+
+    mean_density = jnp.mean(jnp.maximum(density[0], 0.0))
+    thresh = jnp.minimum(mean_density, NERF_MIN_OPTICAL_THICKNESS)
+    bitfield = density > thresh
+
+    # bitfield_max_pool: OR the finer cascade's 2x-pooled grid into the
+    # center half of the next coarser cascade.
+    for m in range(c - 1):
+        fine = bitfield[m]
+        pooled = fine.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
+        q = g // 4
+        region = jax.lax.dynamic_slice(bitfield[m + 1], (q, q, q), (g // 2, g // 2, g // 2))
+        merged = region | pooled
+        bitfield = bitfield.at[m + 1].set(
+            jax.lax.dynamic_update_slice(bitfield[m + 1], merged, (q, q, q))
+        )
+
+    return {
+        "density": density,
+        "bitfield": bitfield,
+        "mean_density": mean_density,
+        "n_updates": state["n_updates"] + 1,
+    }

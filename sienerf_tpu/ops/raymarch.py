@@ -1,0 +1,138 @@
+"""Ray marching through the occupancy grid + emission-absorption compositing.
+
+Behavioral spec: reference nerf_device.cuh:359-534 (cone stepping `calc_dt`,
+DDA voxel skipping `advance_to_next_voxel`,
+`if_unoccupied_advance_to_next_occupied_voxel`) and testbed_nerf.cu:430-735
+(`generate_next_nerf_network_inputs`, `composite_kernel_nerf`).
+
+TPU design (SURVEY.md §7): no atomic compaction — rays are a fixed-shape
+batch with per-lane alive masks.  A march step is pure VPU work (gathers
+into the bitfield); samples are emitted into fixed (N, K) slabs via one-hot
+slot writes; the MLP then runs dense on N*K inputs.  Skips are quantized to
+cone-step multiples exactly like the reference's
+`advance_to_next_voxel` do/while, so sample placement matches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from sienerf_tpu.common import (
+    MAX_CONE_STEPSIZE,
+    MIN_CONE_STEPSIZE,
+    NERF_GRIDSIZE,
+)
+from sienerf_tpu.ops.occupancy import mip_from_dt, mip_from_pos, occupancy_lookup, pos_to_cell
+
+
+def calc_dt(t: jnp.ndarray, cone_angle: float) -> jnp.ndarray:
+    return jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
+
+
+def cone_angle_for_aabb(aabb_scale: float, cone_angle_constant: float = 1.0 / 256.0) -> float:
+    """Reference: uniform steps inside the unit cube, cone stepping for larger
+    scenes (testbed_nerf.cu render path, m_nerf.cone_angle_constant)."""
+    return 0.0 if aabb_scale <= 1.0 else cone_angle_constant
+
+
+def _next_voxel_skip(t, pos, d, mip, dt, grid_size: int = NERF_GRIDSIZE):
+    """Distance to hop past the current (empty) voxel at cascade `mip`,
+    quantized up to whole dt steps (reference advance_to_next_voxel)."""
+    scale = jnp.exp2(mip.astype(jnp.float32))
+    p = ((pos - 0.5) / scale[..., None] + 0.5) * grid_size  # grid coords
+    dg = d * (grid_size / scale[..., None])  # d(grid coords)/dt
+    safe = jnp.where(jnp.abs(dg) < 1e-12, 1e-12, dg)
+    nb = jnp.floor(p) + (dg > 0).astype(jnp.float32)
+    delta = (nb - p) / safe
+    delta = jnp.where(jnp.abs(dg) < 1e-12, jnp.inf, delta)
+    tau = jnp.min(delta, axis=-1)  # world-t units to the nearest boundary
+    tau = jnp.maximum(tau, 0.0) + 1e-5 * scale
+    n_steps = jnp.clip(jnp.ceil(tau / dt), 1.0, 1e6)
+    return n_steps * dt
+
+
+@dataclass(frozen=True)
+class MarchConfig:
+    n_cascades: int = 1
+    cone_angle: float = 0.0
+    grid_size: int = NERF_GRIDSIZE
+
+
+def march_rays(
+    config: MarchConfig,
+    bitfield: jnp.ndarray,  # (C,G,G,G) bool
+    origins: jnp.ndarray,  # (N,3)
+    dirs: jnp.ndarray,  # (N,3) unit
+    t_start: jnp.ndarray,  # (N,)
+    t_far: jnp.ndarray,  # (N,)
+    n_samples: int,
+    n_iters: int,
+):
+    """Collect up to `n_samples` occupied-space samples per ray within
+    `n_iters` march iterations (each iteration = one sample emit or one
+    voxel skip).  Returns ts (N,K), dts (N,K), counts (N,), t_end (N,)."""
+    N = origins.shape[0]
+    K = n_samples
+
+    def body(_, state):
+        t, k, ts, dts = state
+        pos = origins + t[:, None] * dirs
+        dt = calc_dt(t, config.cone_angle)
+        mip = jnp.maximum(
+            mip_from_pos(pos, config.n_cascades), mip_from_dt(dt, config.n_cascades, config.grid_size)
+        )
+        occ = occupancy_lookup(bitfield, pos, mip)
+        active = (t < t_far) & (k < K)
+        emit = active & occ
+        slot = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1) == k[:, None]
+        write = slot & emit[:, None]
+        ts = jnp.where(write, t[:, None], ts)
+        dts = jnp.where(write, dt[:, None], dts)
+        skip = _next_voxel_skip(t, pos, dirs, mip, dt, config.grid_size)
+        t = jnp.where(emit, t + dt, jnp.where(active, t + skip, t))
+        k = k + emit.astype(jnp.int32)
+        return t, k, ts, dts
+
+    t0 = t_start
+    k0 = jnp.zeros((N,), jnp.int32)
+    ts0 = jnp.zeros((N, K), jnp.float32)
+    dts0 = jnp.zeros((N, K), jnp.float32)
+    t, k, ts, dts = jax.lax.fori_loop(0, n_iters, body, (t0, k0, ts0, dts0))
+    return ts, dts, k, t
+
+
+def composite_chunk(
+    rgb: jnp.ndarray,  # (N,K,3) activated colors
+    density: jnp.ndarray,  # (N,K) activated densities
+    ts: jnp.ndarray,  # (N,K)
+    dts: jnp.ndarray,  # (N,K)
+    valid: jnp.ndarray,  # (N,K) bool
+    T_in: jnp.ndarray,  # (N,) incoming transmittance
+    min_transmittance: float = 1e-4,
+):
+    """Front-to-back emission-absorption over one chunk of samples.
+
+    Matches composite_kernel_nerf (testbed_nerf.cu:528-735): weight =
+    alpha * T, early-out once T drops below min_transmittance (later samples
+    in the chunk contribute nothing), depth = t of the max-weight sample.
+    Returns (rgb_sum (N,3), opacity_sum (N,), T_out (N,), best_w (N,),
+    best_t (N,)).
+    """
+    alpha = jnp.where(valid, 1.0 - jnp.exp(-density * dts), 0.0)
+    one_minus = 1.0 - alpha
+    # exclusive cumulative transmittance within the chunk
+    cum = jnp.cumprod(one_minus, axis=1)
+    T_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1) * T_in[:, None]
+    live = T_excl >= min_transmittance
+    w = jnp.where(live, alpha * T_excl, 0.0)
+    rgb_sum = jnp.sum(w[..., None] * rgb, axis=1)
+    opacity = jnp.sum(w, axis=1)
+    T_out = T_in * jnp.prod(jnp.where(live, one_minus, 1.0), axis=1)
+    T_out = jnp.where(T_out < min_transmittance, 0.0, T_out)
+    best = jnp.argmax(w, axis=1)
+    best_w = jnp.take_along_axis(w, best[:, None], axis=1)[:, 0]
+    best_t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
+    return rgb_sum, opacity, T_out, best_w, best_t

@@ -3,10 +3,18 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX to the tunneled TPU ("axon"),
+# which is slow per-dispatch and single-chip; tests want the virtual
+# 8-device CPU mesh.  The axon site hook overrides env vars, so set the jax
+# config directly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 

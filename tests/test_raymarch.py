@@ -1,0 +1,143 @@
+"""Ray-march + composite numerics vs analytic results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.common import MIN_CONE_STEPSIZE
+from sienerf_tpu.ops.occupancy import (
+    OccupancyConfig,
+    init_occupancy_state,
+    mip_from_dt,
+    mip_from_pos,
+    occupancy_lookup,
+    pos_to_cell,
+    update_density_grid,
+)
+from sienerf_tpu.ops.raymarch import MarchConfig, calc_dt, composite_chunk, march_rays
+
+
+def test_calc_dt_uniform_and_cone():
+    t = jnp.array([0.1, 1.0, 10.0])
+    assert np.allclose(calc_dt(t, 0.0), MIN_CONE_STEPSIZE)
+    dt = calc_dt(t, 1.0 / 256)
+    assert dt[0] == MIN_CONE_STEPSIZE
+    assert dt[2] > dt[1] > dt[0]
+
+
+def test_mip_selection():
+    pos = jnp.array([[0.5, 0.5, 0.5], [0.9, 0.5, 0.5], [1.4, 0.5, 0.5], [2.4, 0.5, 0.5]])
+    mips = mip_from_pos(pos, 8)
+    assert list(np.asarray(mips)) == [0, 0, 1, 2]
+    dts = jnp.array([0.001, 0.02, 0.2])
+    m = mip_from_dt(dts, 8)
+    assert list(np.asarray(m)) == [0, 2, 5]
+
+
+def test_pos_to_cell_and_lookup():
+    cfg = OccupancyConfig(n_cascades=2)
+    bf = jnp.zeros((2, 128, 128, 128), bool)
+    cell = pos_to_cell(jnp.array([[0.25, 0.5, 0.75]]), jnp.array([0]))
+    assert list(np.asarray(cell[0])) == [32, 64, 96]
+    bf = bf.at[0, 32, 64, 96].set(True)
+    occ = occupancy_lookup(bf, jnp.array([[0.25, 0.5, 0.75]]), jnp.array([0]))
+    assert bool(occ[0])
+    # outside the grid -> unoccupied
+    occ = occupancy_lookup(bf, jnp.array([[3.0, 0.5, 0.5]]), jnp.array([0]))
+    assert not bool(occ[0])
+
+
+def test_march_through_fully_occupied_grid():
+    cfg = MarchConfig(n_cascades=1, cone_angle=0.0)
+    bf = jnp.ones((1, 128, 128, 128), bool)
+    o = jnp.array([[0.5, 0.5, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    ts, dts, counts, t_end = march_rays(cfg, bf, o, d, jnp.array([0.1]), jnp.array([0.9]), 16, 32)
+    assert int(counts[0]) == 16
+    # uniform steps of MIN_CONE_STEPSIZE starting at t=0.1
+    assert np.allclose(np.asarray(ts[0]), 0.1 + np.arange(16) * MIN_CONE_STEPSIZE, atol=1e-6)
+    assert np.allclose(np.asarray(dts[0, : int(counts[0])]), MIN_CONE_STEPSIZE)
+
+
+def test_march_skips_empty_space():
+    cfg = MarchConfig(n_cascades=1, cone_angle=0.0)
+    bf = jnp.zeros((1, 128, 128, 128), bool)
+    # occupy a slab z in [0.5, 0.625]
+    bf = bf.at[0, :, :, 64:80].set(True)
+    o = jnp.array([[0.5, 0.5, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    ts, dts, counts, _ = march_rays(cfg, bf, o, d, jnp.array([0.0]), jnp.array([1.0]), 32, 256)
+    c = int(counts[0])
+    assert c > 0
+    tvals = np.asarray(ts[0, :c])
+    assert tvals.min() >= 0.5 - 0.02  # first sample at slab entry
+    assert tvals.max() <= 0.625 + 0.02
+
+
+def test_composite_matches_analytic_constant_medium():
+    """Constant density sigma over [0,1]: opacity = 1-exp(-sigma), radiance =
+    c * (1-exp(-sigma)) for constant color."""
+    N, K = 1, 64
+    sigma = 3.0
+    dt = 1.0 / K
+    ts = jnp.arange(K, dtype=jnp.float32)[None, :] * dt
+    dts = jnp.full((N, K), dt)
+    valid = jnp.ones((N, K), bool)
+    rgb = jnp.full((N, K, 3), 0.7)
+    dens = jnp.full((N, K), sigma)
+    rgb_sum, opacity, T_out, bw, bt = composite_chunk(rgb, dens, ts, dts, valid, jnp.ones((N,)))
+    expected_op = 1.0 - np.exp(-sigma)
+    assert np.isclose(float(opacity[0]), expected_op, atol=1e-5)
+    assert np.allclose(np.asarray(rgb_sum[0]), 0.7 * expected_op, atol=1e-5)
+    assert np.isclose(float(T_out[0]), np.exp(-sigma), atol=1e-5)
+
+
+def test_composite_early_out():
+    N, K = 1, 8
+    dens = jnp.full((N, K), 1e5)  # opaque immediately
+    ts = jnp.arange(K, dtype=jnp.float32)[None, :] * 0.01 + 0.2
+    dts = jnp.full((N, K), 0.01)
+    rgb = jnp.broadcast_to(jnp.linspace(0, 1, K)[None, :, None], (N, K, 3))
+    rgb_sum, opacity, T_out, bw, bt = composite_chunk(rgb, dens, ts, dts, jnp.ones((N, K), bool), jnp.ones((N,)))
+    assert float(T_out[0]) == 0.0
+    assert np.isclose(float(opacity[0]), 1.0, atol=1e-4)
+    # depth = max-weight sample = the first one
+    assert np.isclose(float(bt[0]), 0.2, atol=1e-6)
+    assert np.allclose(np.asarray(rgb_sum[0]), 0.0, atol=1e-4)  # first sample color is 0
+
+
+def test_composite_transmittance_chaining():
+    """Compositing in two chunks == compositing in one."""
+    key = jax.random.PRNGKey(0)
+    N, K = 4, 16
+    dens = jax.random.uniform(key, (N, K)) * 5
+    dts = jnp.full((N, K), 0.02)
+    ts = jnp.cumsum(dts, axis=1)
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (N, K, 3))
+    valid = jnp.ones((N, K), bool)
+    full_rgb, full_op, full_T, _, _ = composite_chunk(rgb, dens, ts, dts, valid, jnp.ones((N,)), 1e-7)
+    r1, o1, T1, _, _ = composite_chunk(rgb[:, :8], dens[:, :8], ts[:, :8], dts[:, :8], valid[:, :8], jnp.ones((N,)), 1e-7)
+    r2, o2, T2, _, _ = composite_chunk(rgb[:, 8:], dens[:, 8:], ts[:, 8:], dts[:, 8:], valid[:, 8:], T1, 1e-7)
+    assert np.allclose(np.asarray(r1 + r2), np.asarray(full_rgb), atol=1e-5)
+    assert np.allclose(np.asarray(T2), np.asarray(full_T), atol=1e-6)
+
+
+def test_density_grid_update_thresholds():
+    cfg = OccupancyConfig(n_cascades=1)
+    state = init_occupancy_state(cfg)
+
+    def density_fn(unit_pos):
+        # occupied ball of radius 0.2 at center with strong density
+        r = jnp.linalg.norm(unit_pos - 0.5, axis=-1)
+        return jnp.where(r < 0.2, 100.0, 0.0)
+
+    state = update_density_grid(
+        cfg, state, density_fn, jax.random.PRNGKey(0),
+        jnp.zeros(3), jnp.ones(3), dense=True,
+    )
+    bf = np.asarray(state["bitfield"][0])
+    assert bf[64, 64, 64]
+    assert not bf[5, 5, 5]
+    frac = bf.mean()
+    expected = 4 / 3 * np.pi * 0.2**3
+    assert abs(frac - expected) < 0.01
