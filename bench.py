@@ -46,7 +46,7 @@ def main():
 
     params = inference_params(state["opt"], state["params"])
     bf = state["occ"]["bitfield"]
-    W, H = 1920, 1088
+    W, H = 1280, 720
     fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # undo downscale: native focal
     cam = eng.xforms[0]
 

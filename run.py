@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""CLI driver: train / evaluate / screenshot / export, mirroring the
+reference scripts/run.py (:27-338) argument surface.
+
+Examples:
+  python run.py --scene /root/reference/data/nerf/fox --n_steps 2000
+  python run.py --scene data/image/albert.exr --n_steps 1000 --screenshot out.png
+  python run.py --scene bunny.obj --n_steps 500 --save_mesh out.ply
+  python run.py --scene scene.json --test_transforms transforms_test.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--scene", required=True, help="scene: nerf dir/transforms.json, image, mesh, .nvdb, geometry json")
+    p.add_argument("--network", default=None, help="network config json (default: configs/<mode>/base.json)")
+    p.add_argument("--n_steps", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=1 << 18)
+    p.add_argument("--downscale", type=int, default=1, help="image downscale for NeRF datasets")
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--load_snapshot", default=None)
+    p.add_argument("--save_snapshot", default=None)
+    p.add_argument("--screenshot", default=None, help="render a frame to this path after training")
+    p.add_argument("--screenshot_w", type=int, default=800)
+    p.add_argument("--screenshot_h", type=int, default=800)
+    p.add_argument("--save_mesh", default=None)
+    p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--test_transforms", default=None, help="NeRF eval: transforms json with test views")
+    p.add_argument("--eval_downscale", type=int, default=2)
+    p.add_argument("--eval_max_views", type=int, default=8)
+    p.add_argument("--optimize_extrinsics", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    # honor JAX_PLATFORMS even when a site hook (axon) pre-pins the platform
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and want != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    from sienerf_tpu.common import TestbedMode
+    from sienerf_tpu.session import Session
+    from sienerf_tpu.utils import log
+
+    sess = Session(seed=args.seed)
+    kwargs = {}
+    from sienerf_tpu.session import mode_from_scene
+
+    mode = mode_from_scene(args.scene)
+    if mode == TestbedMode.NERF:
+        kwargs = {"train_batch_size": args.batch_size, "downscale": args.downscale}
+    elif mode == TestbedMode.IMAGE:
+        kwargs = {"batch_size": min(args.batch_size, 1 << 18)}
+    elif mode in (TestbedMode.SDF, TestbedMode.VOLUME):
+        kwargs = {"batch_size": min(args.batch_size, 1 << 16)}
+    sess.load_file(args.scene, args.network, **kwargs)
+    if args.optimize_extrinsics and mode == TestbedMode.NERF:
+        sess.engine.optimize_extrinsics = True
+        sess.state = sess.engine.init(args.seed)
+
+    if args.load_snapshot:
+        sess.load_snapshot(args.load_snapshot)
+
+    if args.n_steps > 0 and mode != TestbedMode.GEOMETRY:
+        t0 = time.time()
+        sess.train(args.n_steps)
+        log.success(f"trained {args.n_steps} steps in {time.time() - t0:.1f}s, final loss {sess.loss:.5f}")
+
+    if args.save_snapshot:
+        sess.save_snapshot(args.save_snapshot)
+
+    if args.test_transforms and mode == TestbedMode.NERF:
+        from sienerf_tpu.metrics import psnr as psnr_of, ssim as ssim_of
+        from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+        from sienerf_tpu.ops.optim import inference_params
+
+        test_ds = load_nerf_dataset(args.test_transforms, downscale=args.downscale * args.eval_downscale)
+        params = inference_params(sess.state["opt"], sess.state["params"])
+        bf = sess.state["occ"]["bitfield"]
+        w, h = test_ds.resolution
+        psnrs, ssims = [], []
+        for vi in range(min(test_ds.n_images, args.eval_max_views)):
+            rgba, _ = sess.engine.render_frame(
+                params, bf, w, h, test_ds.xforms[vi], tuple(test_ds.focal_lengths[vi])
+            )
+            gt = test_ds.images[vi]
+            gt_rgb = gt[..., :3] * gt[..., 3:4]  # eval protocol: black background
+            pred = np.asarray(rgba[..., :3])
+            psnrs.append(psnr_of(pred, gt_rgb))
+            ssims.append(ssim_of(pred, gt_rgb))
+            log.info(f"view {vi}: psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f}")
+        print(json.dumps({
+            "psnr_avg": float(np.mean(psnrs)), "psnr_min": float(np.min(psnrs)),
+            "psnr_max": float(np.max(psnrs)), "ssim_avg": float(np.mean(ssims)),
+            "n_views": len(psnrs),
+        }))
+
+    if args.screenshot:
+        from sienerf_tpu.io.image_io import save_image
+        from sienerf_tpu.utils.camera import look_at_matrix
+
+        cam = None
+        if mode in (TestbedMode.SDF, TestbedMode.VOLUME, TestbedMode.GEOMETRY):
+            cam = look_at_matrix([0.5, 0.6, -0.9], [0.5, 0.5, 0.5])
+        rgba = sess.render(args.screenshot_w, args.screenshot_h, camera_matrix=cam)
+        save_image(args.screenshot, np.asarray(rgba), input_is_linear=False)
+        log.success(f"screenshot saved to {args.screenshot}")
+
+    if args.save_mesh:
+        sess.save_mesh(args.save_mesh, resolution=args.marching_cubes_res)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -143,30 +143,38 @@ class GeometryEngine:
 
     # --- mesh pass --------------------------------------------------------
 
-    def _ambient_for(self, pos, normals):
+    def _ambient_for(self, geom, pos, normals):
         """The irradiance term: constant ambientcolor (reference WIP state),
         a single baked envmap, or the probe grid (SURVEY.md §2.6 envmap-from-
         NeRF, the fork's intended ShadeEnvMap/ShadeGridEnvMap modes)."""
         up = jnp.asarray(self.up_dir)
-        if self.shade_mode == "envmap" and self.envmap is not None:
+        if "envmap" in geom:
             from sienerf_tpu.engines.irradiance import sample_envmap_irradiance
 
-            return sample_envmap_irradiance(self.envmap, normals)
-        if self.shade_mode == "grid" and self.probe_grid is not None:
+            return sample_envmap_irradiance(geom["envmap"], normals)
+        if "probe_grid" in geom:
             from sienerf_tpu.engines.irradiance import sample_probe_grid
 
-            return sample_probe_grid(self.probe_grid, pos, normals)
+            return sample_probe_grid(geom["probe_grid"], pos, normals)
         return jnp.asarray(self.brdf.ambientcolor) * sky_ambient(normals, up)
 
-    @partial(jax.jit, static_argnums=(0,))
     def render_mesh_rays(self, origins, dirs):
         """Mesh pass on a ray batch: returns (rgb, depth (inf=miss), hit)."""
+        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals}
+        if self.shade_mode == "envmap" and self.envmap is not None:
+            geom["envmap"] = self.envmap
+        if self.shade_mode == "grid" and self.probe_grid is not None:
+            geom["probe_grid"] = self.probe_grid
+        return self._render_mesh_rays_jit(geom, origins, dirs)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _render_mesh_rays_jit(self, geom, origins, dirs):
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         d = dirs / dn
-        t, tid, u, v = bvh_raytrace(self.bvh_dev, origins, d)
+        t, tid, u, v = bvh_raytrace(geom["bvh"], origins, d)
         hit = tid >= 0
         pos = origins + t[:, None] * d
-        normal = jnp.take(self.tri_normals, jnp.maximum(tid, 0), axis=0)
+        normal = jnp.take(geom["tri_normals"], jnp.maximum(tid, 0), axis=0)
         # face-forward
         normal = normal * jnp.where(jnp.sum(normal * d, axis=-1, keepdims=True) > 0, -1.0, 1.0)
 
@@ -174,7 +182,7 @@ class GeometryEngine:
         sun = sun / jnp.linalg.norm(sun)
         # shadow pass: re-trace from the hit point toward the sun
         spos = pos + normal * 1e-3
-        st, stid, _, _ = bvh_raytrace(self.bvh_dev, spos, jnp.broadcast_to(sun, spos.shape))
+        st, stid, _, _ = bvh_raytrace(geom["bvh"], spos, jnp.broadcast_to(sun, spos.shape))
         shadow = jnp.where(stid >= 0, 0.0, 1.0)
         shadow = jnp.where(hit, shadow, 1.0)
 
@@ -186,7 +194,7 @@ class GeometryEngine:
             base = jnp.where(on_floor[..., None], floor_col, base)
             normal = jnp.where(on_floor[..., None], jnp.asarray([0.0, 1.0, 0.0]), normal)
 
-        amb = self._ambient_for(pos, normal)
+        amb = self._ambient_for(geom, pos, normal)
         suncol = SUN_COLOR * shadow[:, None]
         color = evaluate_shading(
             base,

@@ -74,14 +74,17 @@ class ImageEngine:
             return sobol_2d(idx)
         return jax.random.uniform(key, (b, 2))
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def train_step(self, params, opt_state, key):
+        return self._train_step_jit(params, opt_state, key, self.image)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _train_step_jit(self, params, opt_state, key, image):
         step = opt_state["step"]
         coords = self._sample_coords(key, step)
         if self.snap_to_pixel_centers:
-            target = nearest_sample_2d(self.image, coords)
+            target = nearest_sample_2d(image, coords)
         else:
-            target = bilinear_sample_2d(self.image, coords)
+            target = bilinear_sample_2d(image, coords)
         loss_fn = get_loss(self.loss_otype)
 
         def loss_of(p):

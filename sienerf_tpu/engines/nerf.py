@@ -71,14 +71,23 @@ class NerfEngine:
     min_transmittance: float = 1e-4
     render_chunk: int = 8  # samples between "compactions" (march config)
     render_max_chunks: int = 160
-    # device-resident dataset (set by create())
-    images: jnp.ndarray | None = None
-    xforms: jnp.ndarray | None = None
-    focals: jnp.ndarray | None = None
-    principal_points: jnp.ndarray | None = None
+    # error-map importance sampling (testbed_nerf.cu:1778-1840, :3022-3075)
+    use_error_map: bool = True
+    error_map_res: int = 32
+    error_map_warmup: int = 256
+    # per-camera extrinsics optimisation (reference adam_optimizer.h + 
+    # testbed_nerf.cu:3077-3180); se3 deltas trained by autodiff
+    optimize_extrinsics: bool = False
+    extrinsics_lr_scale: float = 1e-3
+    # host-side dataset copies (set by create()); device copies live in .data
+    images: np.ndarray | None = None
+    xforms: np.ndarray | None = None
+    focals: np.ndarray | None = None
+    principal_points: np.ndarray | None = None
     resolution: tuple = (0, 0)
     lens: Lens = field(default_factory=Lens)
-    visible_mask: jnp.ndarray | None = None
+    visible_mask: np.ndarray | None = None
+    data: dict | None = None  # device buffers, threaded through jits as args
 
     # --- construction -----------------------------------------------------
 
@@ -115,14 +124,14 @@ class NerfEngine:
             loss_otype=network_config.get("loss", {}).get("otype", "Huber"),
             train_n_rays=n_rays,
             train_k=train_k,
-            images=jnp.asarray(dataset.images),
-            xforms=jnp.asarray(dataset.xforms),
-            focals=jnp.asarray(dataset.focal_lengths),
-            principal_points=jnp.asarray(dataset.principal_points),
+            images=np.asarray(dataset.images),
+            xforms=np.asarray(dataset.xforms),
+            focals=np.asarray(dataset.focal_lengths),
+            principal_points=np.asarray(dataset.principal_points),
             resolution=dataset.resolution,
             lens=dataset.lens,
         )
-        eng.visible_mask = jnp.asarray(
+        eng.visible_mask = np.asarray(
             mark_untrained_cells(
                 occ,
                 dataset.xforms,
@@ -130,17 +139,36 @@ class NerfEngine:
                 np.asarray([dataset.resolution] * dataset.n_images, np.float32),
             )
         )
+        # Device-resident buffers passed as ARGUMENTS into every jit: big
+        # arrays captured by closure become HLO constants, which pushes
+        # XLA:TPU gathers onto a ~100x slower path (measured; see
+        # ops/hashgrid.py docstring).
+        eng.data = {
+            "images": jnp.asarray(eng.images),
+            "xforms": jnp.asarray(eng.xforms),
+            "focals": jnp.asarray(eng.focals),
+            "pp": jnp.asarray(eng.principal_points),
+            "visible_mask": jnp.asarray(eng.visible_mask),
+        }
         return eng
 
     def init(self, seed: int = 1337) -> dict:
         key = jax.random.PRNGKey(seed)
         params = init_nerf_network(key, self.net)
-        return {
+        if self.optimize_extrinsics:
+            n_img = self.images.shape[0]
+            params["cam"] = jnp.zeros((n_img, 6), jnp.float32)  # (rot, trans) se3 deltas
+        state = {
             "params": params,
             "opt": optim_init(params, self.opt),
             "occ": init_occupancy_state(self.occ),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.use_error_map:
+            from sienerf_tpu.ops.importance import init_error_map
+
+            state["emap"] = init_error_map(self.images.shape[0], self.error_map_res)
+        return state
 
     # --- shared pieces ----------------------------------------------------
 
@@ -177,28 +205,50 @@ class NerfEngine:
 
     # --- training ---------------------------------------------------------
 
-    def _sample_training_rays(self, key, n_rays=None):
-        """Uniform image + pixel sampling (error-map CDF sampling: see
-        importance_sampling.py, wired in by train bundles when enabled)."""
+    def _sample_training_rays(self, data, key, n_rays=None, emap=None, step=None, cam_deltas=None):
+        """Ray batch sampling: uniform over images/pixels during warmup,
+        error-map CDF importance sampling after (reference
+        generate_training_samples_nerf image/focal-plane CDFs)."""
         kimg, kpix, kbg = jax.random.split(key, 3)
         n = n_rays or self.train_n_rays
         w, h = self.resolution
-        img_idx = jax.random.randint(kimg, (n,), 0, self.images.shape[0])
-        pix = jax.random.uniform(kpix, (n, 2))
-        px = jnp.minimum((pix[:, 0] * w).astype(jnp.int32), w - 1)
-        py = jnp.minimum((pix[:, 1] * h).astype(jnp.int32), h - 1)
+
+        def uniform_sample(k):
+            k1, k2 = jax.random.split(k)
+            img_idx = jax.random.randint(k1, (n,), 0, data["images"].shape[0])
+            pix = jax.random.uniform(k2, (n, 2))
+            return img_idx, pix[:, 0], pix[:, 1]
+
+        if emap is not None and step is not None:
+            from sienerf_tpu.ops.importance import sample_error_map
+
+            img_idx, u, v = jax.lax.cond(
+                step >= self.error_map_warmup,
+                lambda k: sample_error_map(emap, k, n),
+                uniform_sample,
+                kpix,
+            )
+        else:
+            img_idx, u, v = uniform_sample(kpix)
+
+        px = jnp.minimum((u * w).astype(jnp.int32), w - 1)
+        py = jnp.minimum((v * h).astype(jnp.int32), h - 1)
         uv = jnp.stack([(px.astype(jnp.float32) + 0.5) / w, (py.astype(jnp.float32) + 0.5) / h], axis=-1)
-        xf = self.xforms[img_idx]
-        fl = self.focals[img_idx]
-        pp = self.principal_points[img_idx]
+        xf = data["xforms"][img_idx]
+        fl = data["focals"][img_idx]
+        pp = data["pp"][img_idx]
+        if cam_deltas is not None:
+            xf = _apply_se3_delta(xf, cam_deltas[img_idx])
         origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens)
-        flat = self.images.reshape(-1, 4)
+        flat = data["images"].reshape(-1, 4)
         target = jnp.take(flat, (img_idx * h + py) * w + px, axis=0)
         bg = jax.random.uniform(kbg, (n, 3))
-        return origins, dirs, target, bg
+        return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1])
 
-    def _loss_for_batch(self, params, occ_bitfield, key, n_rays=None):
-        origins, dirs, target, bg = self._sample_training_rays(key, n_rays)
+    def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None):
+        origins, dirs, target, bg, ray_meta = self._sample_training_rays(
+            data, key, n_rays, emap, step, params.get("cam") if self.optimize_extrinsics else None
+        )
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         dirs_n = dirs / dn
         t0, t1 = self._aabb_times(origins, dirs_n, self.near_distance)
@@ -214,9 +264,10 @@ class NerfEngine:
         gt = target[:, :3] * target[:, 3:4] + bg * (1.0 - target[:, 3:4])
         loss_fn = get_loss(self.loss_otype)
         per_elem = loss_fn(pred, gt)
-        return jnp.mean(per_elem), counts
+        per_ray = jnp.mean(per_elem, axis=-1)
+        return jnp.mean(per_elem), (counts, per_ray, ray_meta)
 
-    def _train_one_step(self, state, key, n_rays=None, axis_name=None):
+    def _train_one_step(self, state, data, key, n_rays=None, axis_name=None):
         """One SGD step.  With `axis_name`, rays are sharded over that mesh
         axis (key folded with the device index) and gradients are pmean'd —
         pure data parallelism: the model (hash table + MLPs + bitfield) is
@@ -225,59 +276,80 @@ class NerfEngine:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
         def loss_of(p):
-            loss, counts = self._loss_for_batch(p, state["occ"]["bitfield"], key, n_rays)
-            return loss, counts
+            loss, aux = self._loss_for_batch(
+                p, state["occ"]["bitfield"], data, key, n_rays,
+                state.get("emap"), state["step"],
+            )
+            return loss, aux
 
-        (loss, counts), grads = jax.value_and_grad(loss_of, has_aux=True)(state["params"])
+        (loss, (counts, per_ray, ray_meta)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state["params"]
+        )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
+        lr_mask = None
+        if self.optimize_extrinsics:
+            lr_mask = jax.tree.map(lambda _: 1.0, state["params"])
+            lr_mask["cam"] = self.extrinsics_lr_scale
         params, opt = optim_step(
-            self.opt, state["opt"], state["params"], grads, nerf_l2_mask(state["params"])
+            self.opt, state["opt"], state["params"], grads,
+            nerf_l2_mask(state["params"]), lr_mask,
         )
         new_state = {**state, "params": params, "opt": opt, "step": state["step"] + 1}
+        if "emap" in state:
+            from sienerf_tpu.ops.importance import splat_errors
+
+            img_idx, u, v = ray_meta
+            new_state["emap"] = splat_errors(state["emap"], img_idx, u, v, per_ray)
         return new_state, loss, jnp.mean(counts.astype(jnp.float32))
 
-    def _bundle_body(self, state, key, n_rays=None, axis_name=None):
+    def _bundle_body(self, state, data, key, n_rays=None, axis_name=None):
         kg, ks = jax.random.split(key)
-        state = self._occupancy_update(state, kg, axis_name)
+        state = self._occupancy_update(state, kg, data, axis_name)
 
         def body(st, k):
-            st, loss, cnt = self._train_one_step(st, k, n_rays, axis_name)
+            st, loss, cnt = self._train_one_step(st, data, k, n_rays, axis_name)
             return st, (loss, cnt)
 
         keys = jax.random.split(ks, self.grid_interval)
         state, (losses, counts) = jax.lax.scan(body, state, keys)
         return state, jnp.mean(losses), jnp.mean(counts)
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_bundle(self, state, key):
         """grid_interval train steps (scanned) + one occupancy update.
         Returns (state, mean_loss, mean_samples_per_ray)."""
-        return self._bundle_body(state, key)
+        return self._train_bundle_jit(state, key, self.data)
 
-    @partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_bundle_jit(self, state, key, data):
+        return self._bundle_body(state, data, key)
+
     def train_bundle_multichip(self, state, key, mesh):
         """Data-parallel bundle over a `rays` mesh axis: params/occupancy
         replicated, ray batch sharded, gradients psum'd over ICI — the
         TPU-native replacement for the reference's CudaDevice replication
         (testbed.cu:5523-5573)."""
+        return self._train_bundle_multichip_jit(state, key, self.data, mesh)
+
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+    def _train_bundle_multichip_jit(self, state, key, data, mesh):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         ndev = mesh.devices.size
         n_local = max(256, self.train_n_rays // ndev)
 
-        def inner(state, key):
-            st, loss, cnt = self._bundle_body(state, key, n_rays=n_local, axis_name="rays")
+        def inner(state, key, data):
+            st, loss, cnt = self._bundle_body(state, data, key, n_rays=n_local, axis_name="rays")
             return st, loss, cnt
 
         f = shard_map(
-            inner, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P(), P()), check_vma=False
+            inner, mesh=mesh, in_specs=(P(), P(), P()), out_specs=(P(), P(), P()), check_vma=False
         )
-        return f(state, key)
+        return f(state, key, data)
 
-    def _occupancy_update(self, state, key, axis_name=None):
+    def _occupancy_update(self, state, key, data, axis_name=None):
         step = state["step"]
         dense_pred = (step < self.dense_until) | (
             (state["occ"]["n_updates"] % self.dense_every_updates) == 0
@@ -289,10 +361,12 @@ class NerfEngine:
         amin = jnp.asarray(self.aabb.min)
         adiag = jnp.asarray(self.aabb.diag)
 
+        vis = data["visible_mask"] if data is not None else None
+
         def upd(dense):
             def f(occ):
                 return update_density_grid(
-                    self.occ, occ, dfn, key, amin, adiag, self.visible_mask, dense=dense
+                    self.occ, occ, dfn, key, amin, adiag, vis, dense=dense
                 )
 
             return f
@@ -376,32 +450,130 @@ class NerfEngine:
         height: int,
         camera_matrix,
         focal_length,
-        tile: int = 1 << 14,
+        tile: int = 1 << 15,
         screen_center=(0.5, 0.5),
         background=(0.0, 0.0, 0.0),
     ):
-        """Render a full frame by scanning over fixed ray tiles.
-        Returns rgba (H,W,4) and depth (H,W)."""
+        """Render a full frame with a streaming persistent ray buffer.
+
+        The reference keeps warps dense by compacting alive rays between
+        marching rounds (compact_kernel_nerf, testbed_nerf.cu:1403-1427).
+        The TPU equivalent: a fixed-size active buffer of `tile` rays; each
+        round marches `render_chunk` samples for every slot, flushes
+        finished rays to the frame via unique-index scatters, and refills
+        dead slots with the next pixels from the stream — lanes stay dense
+        regardless of per-ray path-length divergence, with zero host syncs.
+        Returns rgba (H,W,4) and depth (H,W).
+        """
         n = width * height
-        n_pad = ((n + tile - 1) // tile) * tile
-        idx = jnp.arange(n_pad, dtype=jnp.int32)
-        px = (idx % width).astype(jnp.float32)
-        py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
-        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
-        o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, screen_center, self.lens)
-        o = o.reshape(-1, tile, 3)
-        d = d.reshape(-1, tile, 3)
-
-        def body(_, od):
-            oo, dd = od
-            rgb, opacity, depth = self.render_rays(params, bitfield, oo, dd)
-            return _, (rgb, opacity, depth)
-
-        _, (rgb, opacity, depth) = jax.lax.scan(body, None, (o, d))
-        rgb = rgb.reshape(n_pad, 3)[:n]
-        opacity = opacity.reshape(n_pad)[:n]
-        depth = depth.reshape(n_pad)[:n]
+        A = min(tile, max(256, n))
         bg = jnp.asarray(background, jnp.float32)
+
+        def make_rays(ids):
+            ids_c = jnp.minimum(ids, n - 1)
+            px = (ids_c % width).astype(jnp.float32)
+            py = (ids_c // width).astype(jnp.float32)
+            uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+            o, d = uv_to_ray(
+                uv, (width, height), focal_length, camera_matrix, screen_center, self.lens
+            )
+            dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            d_n = d / dn
+            t0, t1 = self._aabb_times(o, d_n, NERF_RENDERING_NEAR_DISTANCE)
+            return o, d_n, dn[:, 0], t0, t1
+
+        ids0 = jnp.arange(A, dtype=jnp.int32)
+        o0, d0, dn0, t00, t10 = make_rays(ids0)
+        zero = jnp.zeros((A,), jnp.float32)
+        state = dict(
+            ids=ids0,
+            o=o0,
+            d=d0,
+            dnorm=dn0,
+            t=t00,
+            t1=t10,
+            T=jnp.ones((A,), jnp.float32),
+            rgb=jnp.zeros((A, 3), jnp.float32),
+            op=zero,
+            bw=zero,
+            bt=zero,
+            valid=ids0 < n,
+            chunks=jnp.zeros((A,), jnp.int32),
+            cursor=jnp.asarray(A, jnp.int32),
+            out_rgb=jnp.zeros((n + 1, 3), jnp.float32),
+            out_op=jnp.zeros((n + 1,), jnp.float32),
+            out_depth=jnp.zeros((n + 1,), jnp.float32),
+        )
+
+        def alive_of(s):
+            return (
+                s["valid"]
+                & (s["T"] >= self.min_transmittance)
+                & (s["t"] < s["t1"])
+                & (s["chunks"] < self.render_max_chunks)
+            )
+
+        def cond(s):
+            return jnp.any(alive_of(s))
+
+        def body(s):
+            ts, dts, counts, t_end = march_rays(
+                self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
+                self.render_chunk, self.render_chunk * 3,
+            )
+            rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
+            rgb_sum, opacity, T_out, bw, bt = composite_chunk(
+                rgb, dens, ts, dts, valid_s, s["T"], self.min_transmittance
+            )
+            was_alive = alive_of(s)
+            rgb_acc = s["rgb"] + jnp.where(was_alive[:, None], rgb_sum, 0.0)
+            op_acc = s["op"] + jnp.where(was_alive, opacity, 0.0)
+            better = was_alive & (bw > s["bw"])
+            bw_n = jnp.where(better, bw, s["bw"])
+            bt_n = jnp.where(better, bt, s["bt"])
+            t_n = jnp.where(was_alive, t_end, s["t"])
+            T_n = jnp.where(was_alive, T_out, s["T"])
+            chunks_n = s["chunks"] + was_alive.astype(jnp.int32)
+
+            s2 = {**s, "rgb": rgb_acc, "op": op_acc, "bw": bw_n, "bt": bt_n,
+                  "t": t_n, "T": T_n, "chunks": chunks_n}
+            now_alive = alive_of(s2)
+            done = s["valid"] & ~now_alive
+            # flush finished rays (slot ids are unique; non-done slots write
+            # to the sacrificial row n, which is sliced off)
+            tgt = jnp.where(done, s["ids"], n)
+            s2["out_rgb"] = s2["out_rgb"].at[tgt].set(rgb_acc, unique_indices=True)
+            s2["out_op"] = s2["out_op"].at[tgt].set(op_acc, unique_indices=True)
+            s2["out_depth"] = s2["out_depth"].at[tgt].set(
+                bt_n * s["dnorm"], unique_indices=True
+            )
+            # refill dead slots from the pixel stream
+            rank = jnp.cumsum(done.astype(jnp.int32))
+            new_id = s["cursor"] + rank - 1
+            take = done & (new_id < n)
+            ids_n = jnp.where(take, new_id, s["ids"])
+            o_n, d_n2, dn_n, t0_n, t1_n = make_rays(ids_n)
+            sel = take[:, None]
+            s2["ids"] = ids_n
+            s2["o"] = jnp.where(sel, o_n, s["o"])
+            s2["d"] = jnp.where(sel, d_n2, s["d"])
+            s2["dnorm"] = jnp.where(take, dn_n, s["dnorm"])
+            s2["t"] = jnp.where(take, t0_n, s2["t"])
+            s2["t1"] = jnp.where(take, t1_n, s2["t1"])
+            s2["T"] = jnp.where(take, 1.0, s2["T"])
+            s2["rgb"] = jnp.where(sel, 0.0, s2["rgb"])
+            s2["op"] = jnp.where(take, 0.0, s2["op"])
+            s2["bw"] = jnp.where(take, 0.0, s2["bw"])
+            s2["bt"] = jnp.where(take, 0.0, s2["bt"])
+            s2["chunks"] = jnp.where(take, 0, s2["chunks"])
+            s2["valid"] = now_alive | take
+            s2["cursor"] = s["cursor"] + jnp.sum(done.astype(jnp.int32))
+            return s2
+
+        s = jax.lax.while_loop(cond, body, state)
+        rgb = s["out_rgb"][:n]
+        opacity = s["out_op"][:n]
+        depth = s["out_depth"][:n]
         rgb = rgb + (1.0 - opacity)[:, None] * bg
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
@@ -503,3 +675,28 @@ def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens):
     dirs = jnp.einsum("nij,nj->ni", rot, dir_cam)
     origins = xform[:, :3, 3]
     return origins, dirs
+
+
+def _apply_se3_delta(xform: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Apply small se(3) deltas to (N,3,4) camera matrices.
+
+    Reference optimizes per-camera rotation/translation with a host-side
+    Adam (adam_optimizer.h:25-311); here the deltas are ordinary autodiff
+    parameters.  First-order exponential map (deltas stay small):
+    R' = (I + [w]_x) R, t' = t + v.
+    """
+    w = delta[:, :3]
+    v = delta[:, 3:]
+    zeros = jnp.zeros_like(w[:, 0])
+    skew = jnp.stack(
+        [
+            jnp.stack([zeros, -w[:, 2], w[:, 1]], axis=-1),
+            jnp.stack([w[:, 2], zeros, -w[:, 0]], axis=-1),
+            jnp.stack([-w[:, 1], w[:, 0], zeros], axis=-1),
+        ],
+        axis=1,
+    )  # (N,3,3)
+    R = xform[:, :3, :3]
+    R_new = R + jnp.einsum("nij,njk->nik", skew, R)
+    t_new = xform[:, :3, 3] + v
+    return jnp.concatenate([R_new, t_new[:, :, None]], axis=-1)

@@ -97,26 +97,26 @@ class SdfEngine:
 
     # --- sampling ---------------------------------------------------------
 
-    def _sample_surface(self, key, n):
+    def _sample_surface(self, key, n, geom):
         k1, k2 = jax.random.split(key)
         u = jax.random.uniform(k1, (n,))
-        tri_idx = jnp.searchsorted(self.tri_cdf, u)
-        tri_idx = jnp.clip(tri_idx, 0, self.triangles.shape[0] - 1)
+        tri_idx = jnp.searchsorted(geom["cdf"], u)
+        tri_idx = jnp.clip(tri_idx, 0, geom["triangles"].shape[0] - 1)
         bc = jax.random.uniform(k2, (n, 2))
         r1 = jnp.sqrt(bc[:, 0:1])
         a = 1.0 - r1
         b = bc[:, 1:2] * r1
-        tri = jnp.take(self.triangles, tri_idx, axis=0)
+        tri = jnp.take(geom["triangles"], tri_idx, axis=0)
         return tri[:, 0] + a * (tri[:, 1] - tri[:, 0]) + b * (tri[:, 2] - tri[:, 0])
 
-    def _sample_batch(self, key):
+    def _sample_batch(self, key, geom):
         """Reference 8-way split: 4/8 surface, 3/8 perturbed, 1/8 uniform."""
         n = self.batch_size
         n_surf = n // 2
         n_pert = (3 * n) // 8
         n_unif = n - n_surf - n_pert
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        surf = self._sample_surface(k1, n_surf + n_pert)
+        surf = self._sample_surface(k1, n_surf + n_pert, geom)
         pert = surf[n_surf:] + jax.random.normal(k3, (n_pert, 3)) * self.surface_offset_std
         unif = jax.random.uniform(k4, (n_unif, 3))
         pos = jnp.concatenate([surf[:n_surf], pert, unif], axis=0)
@@ -124,12 +124,16 @@ class SdfEngine:
 
     # --- training ---------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_bundle(self, state, key, n_steps: int = 16):
+        geom = {"bvh": self.bvh_dev, "triangles": self.triangles, "cdf": self.tri_cdf}
+        return self._train_bundle_jit(state, key, geom, n_steps)
+
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+    def _train_bundle_jit(self, state, key, geom, n_steps: int = 16):
         def one(st, k):
             ks, kt = jax.random.split(k)
-            pos = self._sample_batch(ks)
-            target = signed_distance(self.bvh_dev, pos, self.sdf_mode)
+            pos = self._sample_batch(ks, geom)
+            target = signed_distance(geom["bvh"], pos, self.sdf_mode)
             loss_fn = get_loss(self.loss_otype)
 
             def loss_of(p):
@@ -201,11 +205,15 @@ class SdfEngine:
         n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         return n
 
+    def render_frame(self, params, unused_opt, width, height, camera_matrix, ground_truth=False, render_mode="shade", **kw):
+        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals}
+        return self._render_frame_jit(params, geom, width, height, camera_matrix, ground_truth, render_mode, **kw)
+
     @partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
-    def render_frame(
+    def _render_frame_jit(
         self,
         params,
-        unused_opt,
+        geom,
         width: int,
         height: int,
         camera_matrix,
@@ -232,16 +240,16 @@ class SdfEngine:
         sun = sun / jnp.linalg.norm(sun)
 
         if ground_truth:
-            t, tid, bu, bv = bvh_raytrace(self.bvh_dev, o + t0[:, None] * d, d, t1 - t0)
+            t, tid, bu, bv = bvh_raytrace(geom["bvh"], o + t0[:, None] * d, d, t1 - t0)
             hit = tid >= 0
             t = jnp.where(hit, t, t1 - t0) + t0
             pos = o + t[:, None] * d
-            normals = jnp.take(self.tri_normals, jnp.maximum(tid, 0), axis=0)
+            normals = jnp.take(geom["tri_normals"], jnp.maximum(tid, 0), axis=0)
             normals = normals * jnp.where(jnp.sum(normals * d, axis=-1, keepdims=True) > 0, -1.0, 1.0)
             n_steps = jnp.zeros_like(tid)
             # shadow: any-hit toward sun
             spos = pos + normals * 1e-3
-            st, stid, _, _ = bvh_raytrace(self.bvh_dev, spos, jnp.broadcast_to(sun, spos.shape))
+            st, stid, _, _ = bvh_raytrace(geom["bvh"], spos, jnp.broadcast_to(sun, spos.shape))
             shadow = jnp.where(stid >= 0, 0.0, 1.0)
         else:
             sdf_fn = self._sdf_fn(params)

@@ -72,11 +72,15 @@ def init_nerf_network(key, config: NerfNetworkConfig) -> dict:
 
 
 def nerf_l2_mask(params: dict) -> dict:
-    return {
+    mask = {
         "grid": 0.0,
         "density_mlp": [1.0 for _ in params["density_mlp"]],
         "rgb_mlp": [1.0 for _ in params["rgb_mlp"]],
     }
+    for extra in ("cam",):
+        if extra in params:
+            mask[extra] = 0.0
+    return mask
 
 
 def density_raw(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) -> jnp.ndarray:

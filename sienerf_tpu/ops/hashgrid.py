@@ -2,19 +2,21 @@
 
 This is the L0 workhorse of the whole framework (reference consumes it via
 tiny-cuda-nn `Encoding<T>` with otype HashGrid — see configs/nerf/base.json
-and SURVEY.md §2.3).  Re-designed for TPU:
+and SURVEY.md §2.3).  TPU-native design notes:
 
 - All levels live in one `(n_levels, table_size, n_features)` HBM-resident
-  fp32 table; lookups are XLA gathers (which map onto the TPU's native
-  dynamic-gather path), not hand-rolled SRAM kernels — the GPU "fully fused"
-  trick is a shared-memory locality optimization that does not apply here.
-- Fixed shapes: positions come in as `(N, D)` with N padded to a lane
-  multiple by callers.
-- Backward is a custom VJP: scatter-add into the table (XLA scatter) plus an
-  analytic position gradient (needed for camera optimisation and SDF
-  analytic normals).
+  fp32 table; lookups are ONE flat XLA gather over all levels at once and
+  the backward is ONE flat scatter-add (custom VJP, with an analytic
+  position gradient for camera optimisation / SDF analytic normals).
+- **Per-level constants (scale, resolution, dense flag, level offset) are
+  baked into the graph as numpy literals.**  This is load-bearing: feeding
+  gather/scatter index math from traced scalars (e.g. `scales[l]` inside a
+  `lax.scan`) pushes XLA:TPU onto a ~200x slower gather path (measured
+  9.5ms vs 0.05ms for a 2M-row gather on v5e).  Unrolling levels in Python
+  blows up compile time instead; vectorizing levels with literal constants
+  gets both fast compile and fast execution (~9 Gsample/s fwd).
 
-Semantics matched to tcnn grid encoding so reference configs mean the same:
+Semantics matched to tcnn so reference configs mean the same:
   scale_l   = base_resolution * per_level_scale**l - 1
   res_l     = ceil(scale_l) + 1
   pos_l     = pos * scale_l + 0.5 ;  corner = floor(pos_l), frac = pos_l - corner
@@ -47,9 +49,24 @@ class HashGridConfig:
     per_level_scale: float = 2.0
     # "Hash" or "Dense"; Dense forces stride indexing at every level (tcnn DenseGrid)
     grid_type: str = "Hash"
+    # Memory layout (TPU performance knob, same parameter budget either way):
+    #  - "corner": tcnn-exact vertex-shared table (L, T, F); every sample
+    #    issues 2^D narrow (F*4-byte) gathers per level.  Narrow random HBM
+    #    gathers are descriptor-limited on TPU (~225M rows/s measured on
+    #    v5e), making this layout ~8x slower.
+    #  - "cell": one row per interpolation CELL holding all 2^D corner
+    #    features contiguously (L, T/2^D, 2^D, F); one wide (2^D*F*4-byte)
+    #    gather per level per sample (~379M rows/s measured).  Corner values
+    #    are duplicated across neighboring cells, so C0 continuity is by
+    #    training consistency rather than by construction — empirically
+    #    matches corner-layout PSNR (see tests/test_hashgrid.py).
+    layout: str = "cell"
 
     @property
     def table_size(self) -> int:
+        """Number of table rows (cells for cell layout, vertices otherwise)."""
+        if self.layout == "cell":
+            return 1 << max(self.log2_hashmap_size - self.n_dims, 4)
         return 1 << self.log2_hashmap_size
 
     @property
@@ -65,7 +82,12 @@ class HashGridConfig:
     def level_is_dense(self, level: int) -> bool:
         if self.grid_type == "Dense":
             return True
-        return self.level_resolution(level) ** self.n_dims <= self.table_size
+        n_rows_needed = (
+            max(self.level_resolution(level) - 1, 1) ** self.n_dims
+            if self.layout == "cell"
+            else self.level_resolution(level) ** self.n_dims
+        )
+        return n_rows_needed <= self.table_size
 
     @staticmethod
     def from_network_config(enc: dict, n_dims: int = 3, aabb_scale: float = 1.0) -> "HashGridConfig":
@@ -95,8 +117,31 @@ class HashGridConfig:
 
 def init_hashgrid_params(key, config: HashGridConfig, dtype=jnp.float32):
     """tcnn initializes grid features uniform in [-1e-4, 1e-4]."""
-    shape = (config.n_levels, config.table_size, config.n_features_per_level)
+    if config.layout == "cell":
+        shape = (
+            config.n_levels,
+            config.table_size,
+            1 << config.n_dims,
+            config.n_features_per_level,
+        )
+    else:
+        shape = (config.n_levels, config.table_size, config.n_features_per_level)
     return jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
+
+
+def _pad_cell_table(config: HashGridConfig, table: jnp.ndarray) -> jnp.ndarray:
+    """(L, T, C, F) -> (L*T, 128) with zero-padded features.
+
+    512-byte rows are the sweet spot for TPU HBM gathers (412M rows/s
+    measured vs 225M at 16B), and 128-lane minor dims stop XLA from
+    assigning transposed layouts to the surrounding elementwise ops (which
+    otherwise force the backward scatter onto a serialized path).
+    """
+    L, T, C, F = table.shape
+    Fp = 128 // C if F <= 128 // C else F
+    if Fp != F:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, 0), (0, Fp - F)))
+    return table.reshape(L * T, C * Fp)
 
 
 def _corner_offsets(n_dims: int) -> np.ndarray:
@@ -105,44 +150,85 @@ def _corner_offsets(n_dims: int) -> np.ndarray:
     return np.array([[(c >> d) & 1 for d in range(n_dims)] for c in range(n)], np.uint32)
 
 
-def _level_tables(config: HashGridConfig):
-    """Per-level static data as arrays (scanned over, not unrolled)."""
-    scales = np.asarray([config.level_scale(l) for l in range(config.n_levels)], np.float32)
-    res = np.asarray([config.level_resolution(l) for l in range(config.n_levels)], np.uint32)
-    dense = np.asarray([config.level_is_dense(l) for l in range(config.n_levels)], bool)
-    return jnp.asarray(scales), jnp.asarray(res), jnp.asarray(dense)
+def _static_level_data(config: HashGridConfig):
+    """All per-level constants as NUMPY arrays (become HLO literals)."""
+    L, D = config.n_levels, config.n_dims
+    scales = np.asarray([config.level_scale(l) for l in range(L)], np.float32)
+    res = np.asarray([config.level_resolution(l) for l in range(L)], np.uint32)
+    dense = np.asarray([config.level_is_dense(l) for l in range(L)], bool)
+    # per-level, per-dim index multipliers: dense levels use strides
+    # (1, res, res^2, ...), hash levels use the primes (uint32 wraparound ok).
+    # Cell layout indexes CELLS (res-1 per dim) instead of vertices.
+    mult = np.zeros((L, D), np.uint32)
+    for l in range(L):
+        if dense[l]:
+            stride_base = int(res[l]) - 1 if config.layout == "cell" else int(res[l])
+            s = 1
+            for d in range(D):
+                mult[l, d] = s % (1 << 32)
+                s *= max(stride_base, 1)
+        else:
+            for d in range(D):
+                mult[l, d] = _PRIMES[d] % (1 << 32)
+    offsets = (np.arange(L, dtype=np.int64) * config.table_size).astype(np.int32)
+    return scales, res, dense, mult, offsets
 
 
-def _level_geometry_dyn(config: HashGridConfig, scale, res, is_dense, pos):
-    """Traced per-level geometry (scale/res/is_dense are traced scalars):
-    returns idx (N,2^D), weights (N,2^D), per_dim (N,2^D,D), offs, scale."""
-    D = config.n_dims
-    x = pos.astype(jnp.float32) * scale + 0.5
+def _geometry(config: HashGridConfig, pos: jnp.ndarray):
+    """Vectorized over levels AND corners, SAMPLE-MAJOR (N, L, ...) layout —
+    keeping everything in the same order as the network activations avoids
+    transposes whose layouts otherwise propagate into gathers/scatters and
+    serialize them on TPU.
+
+    Returns flat_idx (N*L*C,), w (N,L,C), per_dim (N,L,C,D), offs (C,D) np.
+    """
+    L, D = config.n_levels, config.n_dims
+    C = 1 << D
+    scales, res, dense, mult, lvl_off = _static_level_data(config)
+    N = pos.shape[0]
+
+    x = pos.astype(jnp.float32)[:, None, :] * scales[None, :, None] + 0.5  # (N,L,D)
     x_floor = jnp.floor(x)
-    frac = x - x_floor
-    resf = res.astype(jnp.float32)
-    base = jnp.clip(x_floor, 0.0, resf - 1.0).astype(jnp.uint32)  # (N, D)
+    frac = x - x_floor  # (N,L,D)
+    res_f = (res - 1).astype(np.float32)[None, :, None]
+    base = jnp.clip(x_floor, 0.0, res_f).astype(jnp.uint32)  # (N,L,D)
 
-    offs = jnp.asarray(_corner_offsets(D))  # (2^D, D)
-    corner = jnp.minimum(base[:, None, :] + offs[None, :, :], res - jnp.uint32(1))
+    offs = _corner_offsets(D)  # (C,D) numpy
+    res_m1 = (res - 1)[None, :, None]  # (1,L,1) numpy
+    idx = None
+    for d in range(D):
+        corner_d = jnp.minimum(base[..., d][..., None] + offs[None, None, :, d], res_m1)  # (N,L,C)
+        term = corner_d * mult[:, d][None, :, None]
+        if idx is None:
+            idx = term
+        else:
+            # dense levels accumulate strided sums, hash levels XOR; select
+            # with the constant per-level mask
+            dense_mask = dense[None, :, None]
+            idx = jnp.where(dense_mask, idx + term, idx ^ term)
+    idx = (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)  # (N,L,C)
+    flat_idx = (idx + lvl_off[None, :, None]).reshape(-1)
 
-    # both index schemes, selected per level (tcnn: dense stride when the
-    # level fits in the table, spatial hash otherwise)
-    stride_idx = corner[..., 0]
-    stride = jnp.uint32(1)
-    for d in range(1, D):
-        stride = stride * res
-        stride_idx = stride_idx + corner[..., d] * stride
-    hash_idx = corner[..., 0] * jnp.uint32(_PRIMES[0])
-    for d in range(1, D):
-        hash_idx = hash_idx ^ (corner[..., d] * jnp.uint32(_PRIMES[d]))
-    idx = jnp.where(is_dense, stride_idx, hash_idx)
-    idx = (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)
+    f = frac[:, :, None, :]  # (N,L,1,D)
+    per_dim = jnp.where(offs[None, None, :, :] == 1, f, 1.0 - f)  # (N,L,C,D)
+    w = jnp.prod(per_dim, axis=-1)  # (N,L,C)
+    return flat_idx, w, per_dim, offs, scales
 
-    f = frac[:, None, :]
-    per_dim = jnp.where(offs[None, :, :] == 1, f, 1.0 - f)  # (N, 2^D, D)
-    w = jnp.prod(per_dim, axis=-1)  # (N, 2^D)
-    return idx, w, per_dim, offs
+
+def _sorted_segment_accumulate(values: jnp.ndarray, idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """Scatter-add `values` ((M, K)) into (n_rows, K) by row index.
+
+    XLA:TPU serializes plain scatter-add when indices may collide (~160ms
+    for 2.1M x 128B on v5e); sorting by index first and passing
+    indices_are_sorted lets the scatter lower to the fast path (0.5ms
+    measured) — PROVIDED the value array keeps its natural row-major
+    layout, which is why the caller keeps everything sample-major and this
+    function avoids transposing ops like cumsum/moveaxis.
+    """
+    order = jnp.argsort(idx)
+    sidx = jnp.take(idx, order)
+    svals = jnp.take(values, order, axis=0)
+    return jax.ops.segment_sum(svals, sidx, num_segments=n_rows, indices_are_sorted=True)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -150,59 +236,99 @@ def hashgrid_encode(config: HashGridConfig, table: jnp.ndarray, pos: jnp.ndarray
     """Encode positions. table: (L, T, F) fp32; pos: (N, D) in [0,1]^D.
 
     Returns (N, L*F) float32 features (cast downstream as needed).
-    Levels are processed with `lax.scan` (compile-time matters on TPU: an
-    unrolled 16-level fwd+bwd graph over multi-million-point batches blows
-    up XLA compile time).
     """
     out, _ = _encode_fwd_impl(config, table, pos)
     return out
 
 
+def _geometry_cell(config: HashGridConfig, pos: jnp.ndarray):
+    """Cell-layout geometry: ONE index per (sample, level) — the containing
+    interpolation cell — plus the same trilinear weights.  Sample-major.
+
+    Returns flat_idx (N*L,), w (N,L,C), per_dim (N,L,C,D), offs, scales.
+    """
+    L, D = config.n_levels, config.n_dims
+    scales, res, dense, mult, lvl_off = _static_level_data(config)
+    N = pos.shape[0]
+
+    x = pos.astype(jnp.float32)[:, None, :] * scales[None, :, None] + 0.5  # (N,L,D)
+    x_floor = jnp.floor(x)
+    frac = x - x_floor
+    cell_max = np.maximum(res.astype(np.int64) - 2, 0).astype(np.float32)[None, :, None]
+    base = jnp.clip(x_floor, 0.0, cell_max).astype(jnp.uint32)  # (N,L,D) cell coords
+
+    idx = None
+    for d in range(D):
+        term = base[..., d] * mult[:, d][None, :]
+        if idx is None:
+            idx = term
+        else:
+            dense_mask = dense[None, :]
+            idx = jnp.where(dense_mask, idx + term, idx ^ term)
+    idx = (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)  # (N,L)
+    flat_idx = (idx + lvl_off[None, :]).reshape(-1)
+
+    offs = _corner_offsets(D)
+    f = frac[:, :, None, :]  # (N,L,1,D)
+    per_dim = jnp.where(offs[None, None, :, :] == 1, f, 1.0 - f)  # (N,L,C,D)
+    w = jnp.prod(per_dim, axis=-1)  # (N,L,C)
+    return flat_idx, w, per_dim, offs, scales
+
+
 def _encode_fwd_impl(config: HashGridConfig, table, pos):
-    scales, res, dense = _level_tables(config)
-
-    def body(_, xs):
-        tl, scale, r, isd = xs
-        idx, w, _, _ = _level_geometry_dyn(config, scale, r, isd, pos)
-        corner_feats = jnp.take(tl, idx, axis=0)  # (N, 2^D, F)
-        return None, jnp.sum(corner_feats * w[..., None], axis=1)  # (N, F)
-
-    _, feats = jax.lax.scan(body, None, (table, scales, res, dense))  # (L, N, F)
-    L, N, F = feats.shape
-    out = jnp.moveaxis(feats, 0, 1).reshape(N, L * F)
+    L, F = config.n_levels, config.n_features_per_level
+    C = 1 << config.n_dims
+    N = pos.shape[0]
+    if config.layout == "cell":
+        flat_idx, w, _, _, _ = _geometry_cell(config, pos)
+        tp = _pad_cell_table(config, table)  # (L*T, 128)
+        rows = jnp.take(tp, flat_idx, axis=0)
+        Fp = tp.shape[1] // C
+        cf = rows.reshape(N, L, C, Fp)[..., :F]
+        out = jnp.sum(cf * w[..., None], axis=2)  # (N,L,F)
+    else:
+        flat_idx, w, _, _, _ = _geometry(config, pos)
+        cf = jnp.take(table.reshape(L * config.table_size, F), flat_idx, axis=0)  # (N*L*C, F)
+        wf = cf * w.reshape(-1, 1)
+        out = wf.reshape(N, L, C, F).sum(axis=2)  # (N,L,F)
+    out = out.reshape(N, L * F)
     return out, (table, pos)
 
 
 def _encode_bwd_impl(config: HashGridConfig, residuals, g):
     table, pos = residuals
     g = g.astype(jnp.float32)
-    L = config.n_levels
-    F = config.n_features_per_level
+    L, F = config.n_levels, config.n_features_per_level
+    D = config.n_dims
+    C = 1 << D
     N = pos.shape[0]
-    g_levels = jnp.moveaxis(g.reshape(N, L, F), 1, 0)  # (L, N, F)
-    scales, res, dense = _level_tables(config)
+    T = config.table_size
 
-    def body(d_pos, xs):
-        tl, gl, scale, r, isd = xs
-        idx, w, per_dim, offs = _level_geometry_dyn(config, scale, r, isd, pos)
-        contrib = w[..., None] * gl[:, None, :]  # (N, 2^D, F)
-        d_tl = jnp.zeros((config.table_size, F), jnp.float32)
-        d_tl = d_tl.at[idx.reshape(-1)].add(contrib.reshape(-1, F))
-        # position gradient
-        corner_feats = jnp.take(tl, idx, axis=0)
-        fdotg = jnp.sum(corner_feats * gl[:, None, :], axis=-1)  # (N, 2^D)
-        sign = jnp.where(offs == 1, 1.0, -1.0)  # (2^D, D)
-        for d in range(config.n_dims):
-            others = [k for k in range(config.n_dims) if k != d]
-            prod_others = (
-                jnp.prod(per_dim[..., others], axis=-1) if others else jnp.ones_like(w)
-            )
-            dw = sign[None, :, d] * prod_others * scale
-            d_pos = d_pos.at[:, d].add(jnp.sum(fdotg * dw, axis=-1))
-        return d_pos, d_tl
+    gl = g.reshape(N, L, F)
+    if config.layout == "cell":
+        flat_idx, w, per_dim, offs, scales = _geometry_cell(config, pos)
+        Fp = 128 // C if F <= 128 // C else F
+        glp = jnp.pad(gl, ((0, 0), (0, 0), (0, Fp - F)))  # (N,L,Fp)
+        contrib = (w[..., None] * glp[:, :, None, :]).reshape(N * L, C * Fp)
+        d_pad = _sorted_segment_accumulate(contrib, flat_idx, L * T)
+        d_table = d_pad.reshape(L, T, C, Fp)[..., :F]
+        tp = _pad_cell_table(config, table)
+        cf = jnp.take(tp, flat_idx, axis=0).reshape(N, L, C, Fp)[..., :F]
+    else:
+        flat_idx, w, per_dim, offs, scales = _geometry(config, pos)
+        contrib = (w[..., None] * gl[:, :, None, :]).reshape(-1, F)  # (N*L*C, F)
+        d_table = _sorted_segment_accumulate(contrib, flat_idx, L * T).reshape(L, T, F)
+        cf = jnp.take(table.reshape(L * T, F), flat_idx, axis=0).reshape(N, L, C, F)
 
-    d_pos0 = jnp.zeros((N, pos.shape[1]), jnp.float32)
-    d_pos, d_table = jax.lax.scan(body, d_pos0, (table, g_levels, scales, res, dense))
+    # position gradient (shared formula; all (N,L,C) shaped)
+    fdotg = jnp.sum(cf * gl[:, :, None, :], axis=-1)  # (N,L,C)
+    sign = np.where(offs == 1, 1.0, -1.0).astype(np.float32)  # (C,D)
+    d_pos = jnp.zeros((N, D), jnp.float32)
+    for d in range(D):
+        others = [k for k in range(D) if k != d]
+        prod_others = jnp.prod(per_dim[..., others], axis=-1) if others else jnp.ones_like(w)
+        dw = sign[None, None, :, d] * prod_others * scales[None, :, None]  # (N,L,C)
+        d_pos = d_pos.at[:, d].add(jnp.sum(fdotg * dw, axis=(1, 2)))
     return d_table, d_pos.astype(pos.dtype)
 
 

@@ -212,7 +212,16 @@ def update_density_grid(
             unit = (pos - aabb_min) / aabb_diag
             d = _eval_chunked(density_fn, unit) * MIN_CONE_STEPSIZE
             dm = density[m].reshape(-1)
-            dm = dm.at[flat_idx].max(d)
+            # sorted segment-max: plain scatter-max serializes on TPU when
+            # indices may collide (see hashgrid._sorted_segment_accumulate)
+            order = jnp.argsort(flat_idx)
+            splat = jax.ops.segment_max(
+                jnp.take(d, order),
+                jnp.take(flat_idx, order),
+                num_segments=n_cells,
+                indices_are_sorted=True,
+            )
+            dm = jnp.maximum(dm, splat)
             density = density.at[m].set(dm.reshape(g, g, g))
 
     if visible_mask is not None:

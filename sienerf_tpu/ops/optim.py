@@ -95,6 +95,7 @@ def optim_step(
     params: Any,
     grads: Any,
     l2_mask: Any = None,
+    lr_mask: Any = None,
 ) -> tuple[Any, dict]:
     """One Adam step (+lr schedule, +EMA shadow update).
 
@@ -110,14 +111,16 @@ def optim_step(
 
     if l2_mask is None:
         l2_mask = jax.tree.map(lambda p: 0.0, params)
+    if lr_mask is None:
+        lr_mask = jax.tree.map(lambda p: 1.0, params)
 
-    def upd(p, g, m, v, mask):
+    def upd(p, g, m, v, mask, lscale):
         g = g.astype(jnp.float32) + spec.l2_reg * mask * p.astype(jnp.float32)
         m = b1 * m + (1.0 - b1) * g
         v = b2 * v + (1.0 - b2) * g * g
         m_hat = m / bias1
         v_hat = v / bias2
-        new_p = p - lr * m_hat / (jnp.sqrt(v_hat) + spec.epsilon)
+        new_p = p - lr * lscale * m_hat / (jnp.sqrt(v_hat) + spec.epsilon)
         return new_p.astype(p.dtype), m, v
 
     flat_p, treedef = jax.tree.flatten(params)
@@ -125,10 +128,11 @@ def optim_step(
     flat_m = treedef.flatten_up_to(state["m"])
     flat_v = treedef.flatten_up_to(state["v"])
     flat_mask = treedef.flatten_up_to(l2_mask)
+    flat_lr = treedef.flatten_up_to(lr_mask)
 
     new_p, new_m, new_v = [], [], []
-    for p, g, m, v, mask in zip(flat_p, flat_g, flat_m, flat_v, flat_mask):
-        np_, nm, nv = upd(p, g, m, v, mask)
+    for p, g, m, v, mask, lscale in zip(flat_p, flat_g, flat_m, flat_v, flat_mask, flat_lr):
+        np_, nm, nv = upd(p, g, m, v, mask, lscale)
         new_p.append(np_)
         new_m.append(nm)
         new_v.append(nv)

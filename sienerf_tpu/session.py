@@ -1,0 +1,232 @@
+"""Session: the user-facing orchestrator (the reference's `Testbed` god-class
+and pyngp python surface, re-cut as a thin host object over pure-functional
+engines).
+
+Behavioral spec: testbed.h:67-1345 / python_api.cu:263-735 — load_file
+(mode sniffing), load_training_data, reload_network_from_file, train(),
+render()/render_to_cpu, screenshot, snapshot save/load, mesh export.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+
+from sienerf_tpu.common import TestbedMode
+from sienerf_tpu.utils import log
+from sienerf_tpu.utils.config import default_configs_dir, find_network_config, load_network_config
+from sienerf_tpu.utils.timers import PhaseTimers
+
+
+def mode_from_scene(path: str | Path) -> TestbedMode:
+    """Scene-type sniffing (reference common_host.cu:146-166)."""
+    p = Path(path)
+    name = str(p).lower()
+    if p.is_dir() or name.endswith("transforms.json") or (p.is_dir() and (p / "transforms.json").exists()):
+        if p.is_dir() and not any(p.glob("transforms*.json")):
+            pass
+        else:
+            return TestbedMode.NERF
+    if "geometry" in Path(name).name and name.endswith(".json"):
+        return TestbedMode.GEOMETRY
+    ext = p.suffix.lower()
+    if ext in (".exr", ".png", ".jpg", ".jpeg", ".bin"):
+        return TestbedMode.IMAGE
+    if ext in (".obj", ".stl"):
+        return TestbedMode.SDF
+    if ext == ".nvdb":
+        return TestbedMode.VOLUME
+    if ext == ".json":
+        return TestbedMode.NERF  # transforms json
+    if ext in (".ingp", ".snap", ".msgpack"):
+        return TestbedMode.NONE  # snapshot: mode from file content
+    raise ValueError(f"cannot infer mode from scene {path}")
+
+
+class Session:
+    """Holds one engine + training state + host-side loop bookkeeping."""
+
+    def __init__(self, configs_dir: str | Path | None = None, seed: int = 1337):
+        self.configs_dir = Path(configs_dir) if configs_dir else default_configs_dir()
+        self.mode = TestbedMode.NONE
+        self.engine = None
+        self.state = None
+        self.seed = seed
+        self.network_config: dict = {}
+        self.timers = PhaseTimers()
+        self.loss = float("nan")
+        self.loss_graph: list[float] = []
+        self.training_step = 0
+        self._rng_key = None
+
+    # --- loading ------------------------------------------------------------
+
+    def load_file(self, scene: str | Path, network: str | None = None, **engine_kwargs):
+        self.mode = mode_from_scene(scene)
+        cfg_path = Path(network) if network else find_network_config(self.configs_dir, self.mode.value)
+        self.network_config = load_network_config(cfg_path)
+        log.info(f"mode={self.mode.value}, network config={cfg_path}")
+
+        import jax
+
+        self._rng_key = jax.random.PRNGKey(self.seed)
+
+        if self.mode == TestbedMode.IMAGE:
+            from sienerf_tpu.engines.image import ImageEngine
+            from sienerf_tpu.io.image_io import load_image
+
+            img = load_image(scene, as_float_linear=str(scene).endswith(".exr"))
+            self.engine = ImageEngine.create(self.network_config, img, **engine_kwargs)
+            params, opt = self.engine.init(self.seed)
+            self.state = {"params": params, "opt": opt}
+        elif self.mode == TestbedMode.NERF:
+            from sienerf_tpu.engines.nerf import NerfEngine
+            from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+
+            ds = load_nerf_dataset(scene, **{k: v for k, v in engine_kwargs.items() if k in ("downscale", "max_images", "split")})
+            ekw = {k: v for k, v in engine_kwargs.items() if k in ("train_batch_size", "grid_size", "train_k")}
+            self.engine = NerfEngine.create(self.network_config, ds, **ekw)
+            self.state = self.engine.init(self.seed)
+            self.dataset = ds
+        elif self.mode == TestbedMode.SDF:
+            from sienerf_tpu.engines.sdf import SdfEngine
+            from sienerf_tpu.geom.mesh_io import load_mesh, normalize_to_unit_cube
+
+            tri = normalize_to_unit_cube(load_mesh(scene), scale_margin=0.9)
+            self.engine = SdfEngine.create(self.network_config, tri, **engine_kwargs)
+            self.state = self.engine.init(self.seed)
+        elif self.mode == TestbedMode.VOLUME:
+            from sienerf_tpu.engines.volume import VolumeEngine
+            from sienerf_tpu.io.nanovdb import read_nanovdb
+
+            vol = read_nanovdb(scene)
+            self.engine = VolumeEngine.create(self.network_config, vol, **engine_kwargs)
+            self.state = self.engine.init(self.seed)
+        elif self.mode == TestbedMode.GEOMETRY:
+            from sienerf_tpu.engines.geometry import GeometryEngine
+
+            self.engine = GeometryEngine.load_scene(scene, **engine_kwargs)
+            self.state = {}
+        else:
+            raise ValueError(self.mode)
+        return self
+
+    # --- training -----------------------------------------------------------
+
+    def train(self, n_steps: int, log_every: int = 256):
+        """Train in bundles; mirrors the reference CLI loop
+        (main.cu:190-196: `iteration=... loss=...` prints)."""
+        import jax
+
+        if self.mode == TestbedMode.GEOMETRY:
+            raise RuntimeError("geometry scenes train their NeRF objects separately")
+        bundle = getattr(self.engine, "grid_interval", 16)
+        done = 0
+        while done < n_steps:
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            with self.timers.phase("train"):
+                if self.mode == TestbedMode.IMAGE:
+                    p, o, loss = self.engine.train_step(self.state["params"], self.state["opt"], sub)
+                    self.state = {"params": p, "opt": o}
+                    done += 1
+                elif self.mode == TestbedMode.NERF:
+                    self.state, loss, _ = self.engine.train_bundle(self.state, sub)
+                    done += bundle
+                else:
+                    self.state, loss = self.engine.train_bundle(self.state, sub)
+                    done += 16
+            self.loss = float(loss)
+            self.loss_graph.append(self.loss)
+            self.training_step += bundle if self.mode == TestbedMode.NERF else 16
+            if done % log_every < bundle:
+                log.info(f"iteration={self.training_step} loss={self.loss:.6f} {self.timers.summary()}")
+        return self.loss
+
+    # --- rendering ----------------------------------------------------------
+
+    def render(self, width: int, height: int, camera_matrix=None, focal=None, spp: int = 1, **kw):
+        """Offscreen render -> numpy (H, W, 4) (pyngp Testbed.render)."""
+        from sienerf_tpu.ops.optim import inference_params
+
+        if self.mode == TestbedMode.IMAGE:
+            out = self.engine.render(self.state["params"], self.state["opt"], width, height)
+            out = np.asarray(out)
+            if out.shape[-1] == 3:
+                out = np.concatenate([out, np.ones_like(out[..., :1])], axis=-1)
+            return out
+        if self.mode == TestbedMode.NERF:
+            params = inference_params(self.state["opt"], self.state["params"])
+            if camera_matrix is None:
+                camera_matrix = self.engine.xforms[0]
+                focal = tuple(np.asarray(self.engine.focals[0]) * width / self.engine.resolution[0])
+            rgba, depth = self.engine.render_frame(
+                params, self.state["occ"]["bitfield"], width, height,
+                np.asarray(camera_matrix, np.float32), tuple(np.asarray(focal, np.float32)), **kw
+            )
+            return np.asarray(rgba)
+        if self.mode == TestbedMode.SDF:
+            from sienerf_tpu.ops.optim import inference_params as ip
+
+            params = ip(self.state["opt"], self.state["params"])
+            img, depth = self.engine.render_frame(params, None, width, height, camera_matrix, **kw)
+            return np.concatenate([np.asarray(img), np.ones((height, width, 1), np.float32)], axis=-1)
+        if self.mode == TestbedMode.VOLUME:
+            params = inference_params(self.state["opt"], self.state["params"])
+            rgb, a = self.engine.render_frame(params, width, height, camera_matrix, focal or (width, width), **kw)
+            return np.concatenate([rgb, a[..., None]], axis=-1)
+        if self.mode == TestbedMode.GEOMETRY:
+            rgba, depth = self.engine.render_frame(width, height, camera_matrix, focal or (width, width), **kw)
+            return rgba
+        raise ValueError(self.mode)
+
+    # --- snapshots ----------------------------------------------------------
+
+    def save_snapshot(self, path: str | Path):
+        from sienerf_tpu.io.snapshot import save_snapshot
+
+        meta = {"mode": self.mode.value, "training_step": self.training_step}
+        save_snapshot(path, self.state, self.network_config, meta)
+        log.success(f"saved snapshot {path}")
+
+    def load_snapshot(self, path: str | Path):
+        import jax
+
+        from sienerf_tpu.io.snapshot import load_snapshot
+
+        payload = load_snapshot(path)
+        self.state = jax.tree.map(lambda x: x, payload["state"])
+        self.training_step = int(payload["meta"].get("training_step", 0))
+        log.success(f"loaded snapshot {path} (step {self.training_step})")
+        return payload
+
+    # --- mesh export ----------------------------------------------------------
+
+    def save_mesh(self, path: str | Path, resolution: int = 256, thresh: float = 2.5):
+        """Marching-cubes-equivalent export (reference --save_mesh)."""
+        from sienerf_tpu.ops.meshing import extract_mesh
+        from sienerf_tpu.geom.mesh_io import save_obj, save_ply
+        from sienerf_tpu.ops.optim import inference_params
+
+        params = inference_params(self.state["opt"], self.state["params"])
+        if self.mode == TestbedMode.NERF:
+            dfn = self.engine._density_fn(params)
+            iso = thresh
+            amin, adiag = self.engine.aabb.min, self.engine.aabb.diag
+        elif self.mode == TestbedMode.SDF:
+            from sienerf_tpu.models.single_network import apply_single_network
+
+            dfn = lambda unit: apply_single_network(self.engine.net, params, unit)[:, 0]
+            iso = 0.0
+            amin, adiag = np.zeros(3, np.float32), np.ones(3, np.float32)
+        else:
+            raise RuntimeError(f"mesh export unsupported for mode {self.mode}")
+        verts, faces, _ = extract_mesh(dfn, resolution, amin, adiag, iso=iso)
+        if str(path).endswith(".ply"):
+            save_ply(path, verts, faces)
+        else:
+            save_obj(path, verts, faces)
+        log.success(f"saved mesh {path}: {len(verts)} verts, {len(faces)} faces")
+        return verts, faces

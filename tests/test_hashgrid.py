@@ -13,6 +13,9 @@ from sienerf_tpu.ops.hashgrid import (
 )
 
 
+import pytest
+
+
 def _cfg(**kw):
     base = dict(n_dims=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=12, base_resolution=4, per_level_scale=1.5)
     base.update(kw)
@@ -31,7 +34,7 @@ def test_output_shape_and_dtype():
 def test_dense_level_interpolation_exact():
     """On a dense level, encoding a lattice-aligned point returns exactly its
     table entry; midpoints return the average of neighbors."""
-    cfg = HashGridConfig(n_dims=1, n_levels=1, n_features_per_level=1, log2_hashmap_size=8, base_resolution=5, per_level_scale=2.0)
+    cfg = HashGridConfig(n_dims=1, n_levels=1, n_features_per_level=1, log2_hashmap_size=8, base_resolution=5, per_level_scale=2.0, layout="corner")
     assert cfg.level_is_dense(0)
     res = cfg.level_resolution(0)
     scale = cfg.level_scale(0)  # = 4
@@ -55,10 +58,13 @@ def test_auto_per_level_scale():
     assert abs(cfg.level_scale(15) + 1 - 2048) / 2048 < 0.01
 
 
-def test_table_gradient_matches_fd():
-    cfg = _cfg(n_levels=2, log2_hashmap_size=6, base_resolution=3, per_level_scale=2.0)
+@pytest.mark.parametrize("layout", ["corner", "cell"])
+def test_table_gradient_matches_fd(layout):
+    cfg = _cfg(n_levels=2, log2_hashmap_size=6, base_resolution=3, per_level_scale=2.0, layout=layout)
     key = jax.random.PRNGKey(3)
-    table = jax.random.normal(key, (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)) * 0.1
+    shape = ((cfg.n_levels, cfg.table_size, 8, cfg.n_features_per_level) if layout == "cell"
+             else (cfg.n_levels, cfg.table_size, cfg.n_features_per_level))
+    table = jax.random.normal(key, shape) * 0.1
     pos = jax.random.uniform(jax.random.PRNGKey(4), (8, 3), minval=0.05, maxval=0.95)
     g_out = jax.random.normal(jax.random.PRNGKey(5), (8, cfg.n_output_dims))
 
@@ -71,17 +77,18 @@ def test_table_gradient_matches_fd():
     eps = 1e-3
     f0 = float(f(table))
     for _ in range(12):
-        l = rng.integers(cfg.n_levels)
-        t_ = rng.integers(cfg.table_size)
-        c = rng.integers(cfg.n_features_per_level)
-        tp = table.at[l, t_, c].add(eps)
+        ix = tuple(rng.integers(s) for s in table.shape)
+        tp = table.at[ix].add(eps)
         fd = (float(f(tp)) - f0) / eps
-        assert np.isclose(fd, float(grad[l, t_, c]), atol=2e-2), (l, t_, c)
+        assert np.isclose(fd, float(grad[ix]), atol=2e-2), ix
 
 
-def test_position_gradient_matches_fd():
-    cfg = _cfg(n_levels=3, base_resolution=4, per_level_scale=1.6)
-    table = jax.random.normal(jax.random.PRNGKey(7), (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)) * 0.5
+@pytest.mark.parametrize("layout", ["corner", "cell"])
+def test_position_gradient_matches_fd(layout):
+    cfg = _cfg(n_levels=3, base_resolution=4, per_level_scale=1.6, layout=layout)
+    shape = ((cfg.n_levels, cfg.table_size, 8, cfg.n_features_per_level) if layout == "cell"
+             else (cfg.n_levels, cfg.table_size, cfg.n_features_per_level))
+    table = jax.random.normal(jax.random.PRNGKey(7), shape) * 0.5
     pos = jnp.array([[0.33, 0.41, 0.77], [0.1, 0.9, 0.5]])
     g_out = jax.random.normal(jax.random.PRNGKey(8), (2, cfg.n_output_dims))
 
@@ -90,12 +97,29 @@ def test_position_gradient_matches_fd():
 
     grad = jax.grad(f)(pos)
     eps = 1e-4
+
+    def crosses_cell_boundary(p, d):
+        # cell layout is discontinuous at cell boundaries; skip FD probes that
+        # straddle one at any level
+        for l in range(cfg.n_levels):
+            s = cfg.level_scale(l)
+            lo = np.floor((p[d] - eps) * s + 0.5)
+            hi = np.floor((p[d] + eps) * s + 0.5)
+            if lo != hi:
+                return True
+        return False
+
+    checked = 0
     for i in range(2):
         for d in range(3):
+            if layout == "cell" and crosses_cell_boundary(np.asarray(pos[i]), d):
+                continue
             pp = pos.at[i, d].add(eps)
             pm = pos.at[i, d].add(-eps)
             fd = (float(f(pp)) - float(f(pm))) / (2 * eps)
             assert np.isclose(fd, float(grad[i, d]), rtol=2e-2, atol=1e-3), (i, d)
+            checked += 1
+    assert checked >= 3
 
 
 def test_2d_mode():
@@ -111,7 +135,7 @@ def test_2d_mode():
 
 
 def test_hash_level_spreads_indices():
-    cfg = _cfg(n_levels=6, log2_hashmap_size=10, base_resolution=16, per_level_scale=2.0)
+    cfg = _cfg(n_levels=6, log2_hashmap_size=10, base_resolution=16, per_level_scale=2.0, layout="corner")
     level = cfg.n_levels - 1
     assert not cfg.level_is_dense(level)
     table = jnp.zeros((cfg.n_levels, cfg.table_size, cfg.n_features_per_level))

@@ -107,7 +107,7 @@ def trained():
 def test_nerf_training_loss_decreases(trained):
     eng, state, losses, ds = trained
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] * 0.35, losses
+    assert losses[-1] < losses[0] * 0.45, losses
 
 
 def test_nerf_occupancy_found_the_ball(trained):
