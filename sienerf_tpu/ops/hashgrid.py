@@ -130,7 +130,7 @@ def init_hashgrid_params(key, config: HashGridConfig, dtype=jnp.float32):
 
 
 def _pad_cell_table(config: HashGridConfig, table: jnp.ndarray) -> jnp.ndarray:
-    """(L, T, C, F) -> (L*T, 128) with zero-padded features.
+    """(L, T, C, F) -> (L, T, 128) with zero-padded features.
 
     512-byte rows are the sweet spot for TPU HBM gathers (412M rows/s
     measured vs 225M at 16B), and 128-lane minor dims stop XLA from
@@ -141,7 +141,7 @@ def _pad_cell_table(config: HashGridConfig, table: jnp.ndarray) -> jnp.ndarray:
     Fp = 128 // C if F <= 128 // C else F
     if Fp != F:
         table = jnp.pad(table, ((0, 0), (0, 0), (0, 0), (0, Fp - F)))
-    return table.reshape(L * T, C * Fp)
+    return table.reshape(L, T, C * Fp)
 
 
 def _corner_offsets(n_dims: int) -> np.ndarray:
@@ -266,13 +266,12 @@ def _geometry_cell(config: HashGridConfig, pos: jnp.ndarray):
             dense_mask = dense[None, :]
             idx = jnp.where(dense_mask, idx + term, idx ^ term)
     idx = (idx & jnp.uint32(config.table_size - 1)).astype(jnp.int32)  # (N,L)
-    flat_idx = (idx + lvl_off[None, :]).reshape(-1)
 
     offs = _corner_offsets(D)
     f = frac[:, :, None, :]  # (N,L,1,D)
     per_dim = jnp.where(offs[None, None, :, :] == 1, f, 1.0 - f)  # (N,L,C,D)
     w = jnp.prod(per_dim, axis=-1)  # (N,L,C)
-    return flat_idx, w, per_dim, offs, scales
+    return idx, w, per_dim, offs, scales
 
 
 def _encode_fwd_impl(config: HashGridConfig, table, pos):
@@ -280,12 +279,18 @@ def _encode_fwd_impl(config: HashGridConfig, table, pos):
     C = 1 << config.n_dims
     N = pos.shape[0]
     if config.layout == "cell":
-        flat_idx, w, _, _, _ = _geometry_cell(config, pos)
-        tp = _pad_cell_table(config, table)  # (L*T, 128)
-        rows = jnp.take(tp, flat_idx, axis=0)
-        Fp = tp.shape[1] // C
-        cf = rows.reshape(N, L, C, Fp)[..., :F]
-        out = jnp.sum(cf * w[..., None], axis=2)  # (N,L,F)
+        idx, w, _, _, _ = _geometry_cell(config, pos)
+        tp = _pad_cell_table(config, table)  # (L, T, C*Fp)
+        Fp = tp.shape[2] // C
+        # per-level gathers: each level's table (<=8MB padded) gets staged
+        # close to the core, which is ~4x faster than one merged gather from
+        # the full multi-level table (measured 6.1ms vs 23.6ms for 2.1M rows)
+        outs = []
+        for l in range(L):
+            rows = jnp.take(tp[l], idx[:, l], axis=0)  # (N, C*Fp)
+            cf = rows.reshape(N, C, Fp)[..., :F]
+            outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))  # (N,F)
+        out = jnp.stack(outs, axis=1)  # (N,L,F)
     else:
         flat_idx, w, _, _, _ = _geometry(config, pos)
         cf = jnp.take(table.reshape(L * config.table_size, F), flat_idx, axis=0)  # (N*L*C, F)
@@ -306,14 +311,19 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
 
     gl = g.reshape(N, L, F)
     if config.layout == "cell":
-        flat_idx, w, per_dim, offs, scales = _geometry_cell(config, pos)
+        idx, w, per_dim, offs, scales = _geometry_cell(config, pos)
         Fp = 128 // C if F <= 128 // C else F
         glp = jnp.pad(gl, ((0, 0), (0, 0), (0, Fp - F)))  # (N,L,Fp)
-        contrib = (w[..., None] * glp[:, :, None, :]).reshape(N * L, C * Fp)
-        d_pad = _sorted_segment_accumulate(contrib, flat_idx, L * T)
-        d_table = d_pad.reshape(L, T, C, Fp)[..., :F]
         tp = _pad_cell_table(config, table)
-        cf = jnp.take(tp, flat_idx, axis=0).reshape(N, L, C, Fp)[..., :F]
+        d_levels = []
+        cf_levels = []
+        for l in range(L):
+            contrib = (w[:, l, :, None] * glp[:, l, None, :]).reshape(N, C * Fp)
+            d_l = _sorted_segment_accumulate(contrib, idx[:, l], T)
+            d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
+            cf_levels.append(jnp.take(tp[l], idx[:, l], axis=0).reshape(N, C, Fp)[..., :F])
+        d_table = jnp.stack(d_levels, axis=0)
+        cf = jnp.stack(cf_levels, axis=1)  # (N,L,C,F)
     else:
         flat_idx, w, per_dim, offs, scales = _geometry(config, pos)
         contrib = (w[..., None] * gl[:, :, None, :]).reshape(-1, F)  # (N*L*C, F)

@@ -1,0 +1,125 @@
+"""Session / CLI / snapshot / metrics / meshing integration tests."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+
+def test_mode_from_scene():
+    from sienerf_tpu.common import TestbedMode
+    from sienerf_tpu.session import mode_from_scene
+
+    assert mode_from_scene("/root/reference/data/nerf/fox") == TestbedMode.NERF
+    assert mode_from_scene("foo.exr") == TestbedMode.IMAGE
+    assert mode_from_scene("bar.obj") == TestbedMode.SDF
+    assert mode_from_scene("vol.nvdb") == TestbedMode.VOLUME
+    assert mode_from_scene("/root/reference/data/geometry/geometrypaths.json") == TestbedMode.GEOMETRY
+
+
+def test_session_image_end_to_end(tmp_path):
+    from sienerf_tpu.io.image_io import save_image
+    from sienerf_tpu.session import Session
+
+    from test_image_mode import make_target
+
+    img = make_target(32)
+    p = tmp_path / "target.png"
+    save_image(p, img, input_is_linear=False)
+
+    cfg = tmp_path / "net.json"
+    cfg.write_text(json.dumps({
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2, "log2_hashmap_size": 12, "base_resolution": 4},
+        "network": {"n_neurons": 16, "n_hidden_layers": 1},
+    }))
+    sess = Session().load_file(p, network=cfg, batch_size=1024)
+    l0 = None
+    sess.train(40)
+    out = sess.render(32, 32)
+    assert out.shape == (32, 32, 4)
+    assert np.isfinite(out).all()
+    assert sess.loss < 0.1
+
+
+def test_snapshot_roundtrip(tmp_path):
+    import jax
+
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.io.snapshot import load_snapshot, save_snapshot
+
+    from test_nerf_mode import make_dataset, tiny_config
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=16)
+    eng.train_march_iters = 32
+    state = eng.init(0)
+    state, loss, _ = eng.train_bundle(state, jax.random.PRNGKey(0))
+    p = tmp_path / "snap.ingp"
+    save_snapshot(p, state, {"some": "config"}, {"mode": "nerf", "training_step": 16})
+    payload = load_snapshot(p)
+    assert payload["meta"]["mode"] == "nerf"
+    assert payload["config"] == {"some": "config"}
+    rt = payload["state"]
+    # params roundtrip exactly; density grid via fp16 (lossy)
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["rgb_mlp"][0]), rt["params"]["rgb_mlp"][0]
+    )
+    assert np.allclose(
+        np.asarray(state["occ"]["density"]), rt["occ"]["density"], atol=2e-3
+    )
+    # resume training from the snapshot
+    import jax.numpy as jnp
+
+    state2 = jax.tree.map(jnp.asarray, rt)
+    state2, loss2, _ = eng.train_bundle(state2, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss2))
+
+
+def test_mesh_export_from_sdf(tmp_path):
+    from sienerf_tpu.ops.meshing import extract_mesh
+    import jax.numpy as jnp
+
+    def sdf(unit):
+        return jnp.linalg.norm(unit - 0.5, axis=-1) - 0.25
+
+    v, f, _ = extract_mesh(sdf, 32, np.zeros(3), np.ones(3), iso=0.0)
+    assert len(v) > 100 and len(f) > 100
+    r = np.linalg.norm(v - 0.5, axis=-1)
+    assert abs(r.mean() - 0.25) < 0.01
+
+    from sienerf_tpu.geom.mesh_io import load_obj, save_obj, save_ply
+
+    save_obj(tmp_path / "m.obj", v, f)
+    save_ply(tmp_path / "m.ply", v, f)
+    tri = load_obj(tmp_path / "m.obj")
+    assert tri.shape == (len(f), 3, 3)
+
+
+def test_metrics_protocol():
+    from sienerf_tpu.metrics import compute_error
+
+    rng = np.random.default_rng(0)
+    a = rng.random((32, 32, 3))
+    for m in ("MSE", "PSNR", "SSIM", "L1", "MAPE", "SMAPE", "MRSE", "FLIP"):
+        v = compute_error(m, a, a)
+        if m == "SSIM":
+            assert v == pytest.approx(1.0)
+        elif m == "PSNR":
+            assert v > 60
+        else:
+            assert v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cli_help_and_image(tmp_path):
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "run.py", "--help"], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert r.returncode == 0
+    assert "--test_transforms" in r.stdout
