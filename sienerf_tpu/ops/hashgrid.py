@@ -343,3 +343,29 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
 
 
 hashgrid_encode.defvjp(_encode_fwd_impl, _encode_bwd_impl)
+
+
+def hashgrid_stats(config: HashGridConfig, table, n_bins: int = 32):
+    """Per-level weight statistics + histograms (reference LevelStats,
+    testbed.h:446-460; gather_histograms testbed.cu:5169-5218)."""
+    import numpy as np
+
+    t = np.asarray(table)
+    stats = []
+    for l in range(config.n_levels):
+        x = t[l].reshape(-1)
+        hist, edges = np.histogram(x, bins=n_bins)
+        stats.append(
+            dict(
+                level=l,
+                resolution=config.level_resolution(l),
+                mean=float(x.mean()),
+                std=float(x.std()),
+                min=float(x.min()),
+                max=float(x.max()),
+                frac_zero=float((np.abs(x) < 1e-7).mean()),
+                histogram=hist.tolist(),
+                bin_edges=edges.tolist(),
+            )
+        )
+    return stats

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 def init_error_map(n_images: int, res: int = 32) -> dict:
     return {
         "error": jnp.full((n_images, res, res), 1.0, jnp.float32),
-        "decay": jnp.float32(0.97),
+        # per-step decay; slow (half-life ~1400 steps) — texels that stop
+        # being sampled must not decay to zero before they can be re-drawn,
+        # or sampling collapses onto a shrinking pixel subset
+        "decay": jnp.float32(0.9995),
     }
 
 
@@ -51,9 +54,18 @@ def _inverse_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(u[..., None] >= cdf, axis=-1).astype(jnp.int32)
 
 
-def sample_error_map(emap: dict, key, n_rays: int):
-    """Draw (img_idx, u, v) proportional to accumulated error."""
+def sample_error_map(emap: dict, key, n_rays: int, uniform_frac: float = 0.25):
+    """Draw (img_idx, u, v) proportional to accumulated error.
+
+    A `uniform_frac` share of rays stays uniformly distributed — this keeps
+    the sampler ergodic (every pixel keeps receiving fresh error estimates;
+    a pure-CDF sampler is absorbing and collapses onto the pixels it
+    happens to sample early).  The reference gets the same effect from its
+    coarse error-map resolution + slow CDF rebuild cadence.
+    """
     err = jnp.maximum(emap["error"], 1e-8)
+    # uniform floor mixed into the distribution itself
+    err = err + uniform_frac * jnp.mean(err)
     n_img, eh, ew = err.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
 

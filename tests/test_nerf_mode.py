@@ -148,3 +148,30 @@ def test_nerf_render_depth_sane(trained):
     assert float(rgba[..., 3].max()) > 0.9
     # corners are (nearly) background; early training leaves a little haze
     assert float(rgba[2, 2, 3]) < 0.3
+
+
+def test_error_map_stays_ergodic():
+    """Guard against the importance-sampling death spiral: after many
+    splat/decay rounds concentrated on one region, the sampler must still
+    draw from everywhere (uniform mixture + slow decay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sienerf_tpu.ops.importance import init_error_map, sample_error_map, splat_errors
+
+    emap = init_error_map(4, res=16)
+    key = jax.random.PRNGKey(0)
+    for i in range(200):
+        key, k1 = jax.random.split(key)
+        # losses only ever splat into image 0's top-left corner
+        img = jnp.zeros(256, jnp.int32)
+        u = jax.random.uniform(k1, (256,)) * 0.1
+        v = jax.random.uniform(jax.random.fold_in(k1, 1), (256,)) * 0.1
+        emap = splat_errors(emap, img, u, v, jnp.ones(256))
+    img_idx, u, v = sample_error_map(emap, jax.random.PRNGKey(7), 4096)
+    # hot region dominates but every image still gets sampled
+    counts = np.bincount(np.asarray(img_idx), minlength=4)
+    assert counts[0] > counts[1:].max()
+    assert counts.min() > 50, counts
+    # and samples span the full uv range
+    assert float(u.max()) > 0.8 and float(v.max()) > 0.8

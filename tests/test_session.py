@@ -123,3 +123,32 @@ def test_cli_help_and_image(tmp_path):
     )
     assert r.returncode == 0
     assert "--test_transforms" in r.stdout
+
+
+def test_pyngp_compat_surface(tmp_path):
+    from sienerf_tpu import pyngp_compat as ngp
+    from sienerf_tpu.io.image_io import save_image
+
+    from test_image_mode import make_target
+
+    img = make_target(32)
+    p = tmp_path / "t.png"
+    save_image(p, img, input_is_linear=False)
+    cfg = tmp_path / "net.json"
+    cfg.write_text(json.dumps({
+        "loss": {"otype": "L2"}, "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2, "log2_hashmap_size": 12, "base_resolution": 4},
+        "network": {"n_neurons": 16, "n_hidden_layers": 1},
+    }))
+    tb = ngp.Testbed(ngp.TestbedMode.NONE)
+    tb.load_training_data(str(p), network=str(cfg), batch_size=512)
+    assert tb.mode == ngp.TestbedMode.IMAGE
+    for _ in range(3):
+        tb.frame()
+    assert np.isfinite(tb.loss)
+    out = tb.render(16, 16)
+    assert out.shape == (16, 16, 4)
+    mse = tb.compute_image_mse()
+    assert np.isfinite(mse)
+    tb.save_snapshot(str(tmp_path / "s.ingp"))
+    tb.load_snapshot(str(tmp_path / "s.ingp"))
