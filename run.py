@@ -95,7 +95,8 @@ def main(argv=None):
         psnrs, ssims = [], []
         for vi in range(min(test_ds.n_images, args.eval_max_views)):
             rgba, _ = sess.engine.render_frame(
-                params, bf, w, h, test_ds.xforms[vi], tuple(test_ds.focal_lengths[vi])
+                params, bf, w, h, test_ds.xforms[vi], tuple(test_ds.focal_lengths[vi]),
+                screen_center=tuple(test_ds.principal_points[vi]),
             )
             gt = test_ds.images[vi]
             gt_rgb = gt[..., :3] * gt[..., 3:4]  # eval protocol: black background

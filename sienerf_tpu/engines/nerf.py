@@ -64,7 +64,7 @@ class NerfEngine:
     train_n_rays: int = 4096
     train_k: int = 64
     train_march_iters: int = 192
-    near_distance: float = 0.2  # reference m_nerf.training.near_distance
+    near_distance: float = 0.1  # reference m_nerf.training.near_distance (nerf.h:119)
     grid_interval: int = 16  # occupancy update cadence (testbed.cu:4412-4434)
     dense_until: int = 256
     dense_every_updates: int = 16
@@ -386,7 +386,7 @@ class NerfEngine:
     # --- rendering --------------------------------------------------------
 
     def render_rays(
-        self, params, bitfield, origins, dirs, near=NERF_RENDERING_NEAR_DISTANCE, t_cap=None
+        self, params, bitfield, origins, dirs, near=None, t_cap=None
     ):
         """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
 
@@ -395,6 +395,8 @@ class NerfEngine:
         (optional, per-ray, in units of the unnormalized `dirs`) bounds the
         march — used by the hybrid geometry pass to stop at mesh surfaces.
         """
+        if near is None:
+            near = max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance)
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         dirs_n = dirs / dn
         t0, t1 = self._aabb_times(origins, dirs_n, near)
@@ -402,16 +404,23 @@ class NerfEngine:
             t1 = jnp.minimum(t1, t_cap * dn[:, 0])
         N = origins.shape[0]
 
+        # Per-ray sample budget = train_k: the model is only trained to
+        # explain pixels with this march (generate_training_samples' budget);
+        # marching deeper integrates density the loss never constrained
+        # (measured: 28.4 vs 20.2 PSNR on fox).  Empty-space skips are free,
+        # so the reach still grows as the occupancy grid carves.
         def cond(st):
-            i, t, T, _rgb, _op, _bw, _bt = st
-            alive = (T >= self.min_transmittance) & (t < t1)
+            i, t, T, _rgb, _op, _bw, _bt, used = st
+            alive = (T >= self.min_transmittance) & (t < t1) & (used < self.train_k)
             return (i < self.render_max_chunks) & jnp.any(alive)
 
         def body(st):
-            i, t, T, rgb_acc, op_acc, best_w, best_t = st
+            i, t, T, rgb_acc, op_acc, best_w, best_t, used = st
             ts, dts, counts, t_end = march_rays(
                 self.march, bitfield, origins, dirs_n, t, t1, self.render_chunk, self.render_chunk * 3
             )
+            active = (T >= self.min_transmittance) & (t < t1) & (used < self.train_k)
+            counts = jnp.where(active, counts, 0)
             rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
             rgb_sum, opacity, T_out, bw, bt = composite_chunk(
                 rgb, dens, ts, dts, valid, T, self.min_transmittance
@@ -419,12 +428,13 @@ class NerfEngine:
             better = bw > best_w
             return (
                 i + 1,
-                t_end,
-                T_out,
-                rgb_acc + rgb_sum,
-                op_acc + opacity,
+                jnp.where(active, t_end, t),
+                jnp.where(active, T_out, T),
+                rgb_acc + jnp.where(active[:, None], rgb_sum, 0.0),
+                op_acc + jnp.where(active, opacity, 0.0),
                 jnp.where(better, bw, best_w),
                 jnp.where(better, bt, best_t),
+                used + counts,
             )
 
         init = (
@@ -435,8 +445,9 @@ class NerfEngine:
             jnp.zeros((N,), jnp.float32),
             jnp.zeros((N,), jnp.float32),
             jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.int32),
         )
-        _, _, T, rgb, opacity, _, depth = jax.lax.while_loop(cond, body, init)
+        _, _, T, rgb, opacity, _, depth, _ = jax.lax.while_loop(cond, body, init)
         # depth is z-distance along the (unnormalized) view ray; convert to
         # the reference's convention of depth along the camera axis via dn.
         return rgb, opacity, depth * dn[:, 0]
@@ -479,7 +490,11 @@ class NerfEngine:
             )
             dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
             d_n = d / dn
-            t0, t1 = self._aabb_times(o, d_n, NERF_RENDERING_NEAR_DISTANCE)
+            # render from the TRAINING near plane: the region closer than
+            # near_distance receives no gradient (generate_training_samples
+            # starts there too), so marching through it reads untrained
+            # density — a fog wall that destroys PSNR (measured 29.5 -> 11.7)
+            t0, t1 = self._aabb_times(o, d_n, max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance))
             return o, d_n, dn[:, 0], t0, t1
 
         ids0 = jnp.arange(A, dtype=jnp.int32)
@@ -499,6 +514,7 @@ class NerfEngine:
             bt=zero,
             valid=ids0 < n,
             chunks=jnp.zeros((A,), jnp.int32),
+            used=jnp.zeros((A,), jnp.int32),
             cursor=jnp.asarray(A, jnp.int32),
             out_rgb=jnp.zeros((n + 1, 3), jnp.float32),
             out_op=jnp.zeros((n + 1,), jnp.float32),
@@ -511,6 +527,8 @@ class NerfEngine:
                 & (s["T"] >= self.min_transmittance)
                 & (s["t"] < s["t1"])
                 & (s["chunks"] < self.render_max_chunks)
+                # per-ray budget = the training march budget (see render_rays)
+                & (s["used"] < self.train_k)
             )
 
         def cond(s):
@@ -526,6 +544,7 @@ class NerfEngine:
                 rgb, dens, ts, dts, valid_s, s["T"], self.min_transmittance
             )
             was_alive = alive_of(s)
+            counts = jnp.where(was_alive, counts, 0)
             rgb_acc = s["rgb"] + jnp.where(was_alive[:, None], rgb_sum, 0.0)
             op_acc = s["op"] + jnp.where(was_alive, opacity, 0.0)
             better = was_alive & (bw > s["bw"])
@@ -534,9 +553,10 @@ class NerfEngine:
             t_n = jnp.where(was_alive, t_end, s["t"])
             T_n = jnp.where(was_alive, T_out, s["T"])
             chunks_n = s["chunks"] + was_alive.astype(jnp.int32)
+            used_n = s["used"] + counts
 
             s2 = {**s, "rgb": rgb_acc, "op": op_acc, "bw": bw_n, "bt": bt_n,
-                  "t": t_n, "T": T_n, "chunks": chunks_n}
+                  "t": t_n, "T": T_n, "chunks": chunks_n, "used": used_n}
             now_alive = alive_of(s2)
             done = s["valid"] & ~now_alive
             # flush finished rays (slot ids are unique; non-done slots write
@@ -566,6 +586,7 @@ class NerfEngine:
             s2["bw"] = jnp.where(take, 0.0, s2["bw"])
             s2["bt"] = jnp.where(take, 0.0, s2["bt"])
             s2["chunks"] = jnp.where(take, 0, s2["chunks"])
+            s2["used"] = jnp.where(take, 0, s2["used"])
             s2["valid"] = now_alive | take
             s2["cursor"] = s["cursor"] + jnp.sum(done.astype(jnp.int32))
             return s2
@@ -590,6 +611,7 @@ class NerfEngine:
         mesh,
         tile: int = 1 << 13,
         background=(0.0, 0.0, 0.0),
+        screen_center=(0.5, 0.5),
     ):
         """Frame render with rays sharded over the `rays` mesh axis; params
         and bitfield replicated (the TPU equivalent of the reference's
@@ -605,7 +627,7 @@ class NerfEngine:
         px = (idx % width).astype(jnp.float32)
         py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
         uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
-        o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, (0.5, 0.5), self.lens)
+        o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, screen_center, self.lens)
         o = o.reshape(ndev, -1, tile, 3)
         d = d.reshape(ndev, -1, tile, 3)
 
@@ -645,7 +667,9 @@ class NerfEngine:
         psnrs = []
         for vi in view_indices:
             rgba, _ = self.render_frame(
-                params, bf, rw, rh, self.xforms[vi], tuple(np.asarray(self.focals[vi]) / downscale)
+                params, bf, rw, rh, self.xforms[vi],
+                tuple(np.asarray(self.focals[vi]) / downscale),
+                screen_center=tuple(np.asarray(self.principal_points[vi])),
             )
             gt = np.asarray(self.images[vi])[::downscale, ::downscale]
             bg = np.asarray(spp_background, np.float32)

@@ -162,6 +162,7 @@ class Session:
             if camera_matrix is None:
                 camera_matrix = self.engine.xforms[0]
                 focal = tuple(np.asarray(self.engine.focals[0]) * width / self.engine.resolution[0])
+                kw.setdefault("screen_center", tuple(np.asarray(self.engine.principal_points[0])))
             rgba, depth = self.engine.render_frame(
                 params, self.state["occ"]["bitfield"], width, height,
                 np.asarray(camera_matrix, np.float32), tuple(np.asarray(focal, np.float32)), **kw
