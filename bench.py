@@ -34,8 +34,8 @@ def main():
     state = eng.init(0)
     key = jax.random.PRNGKey(0)
 
-    n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    for i in range(n_bundles):  # 24 bundles x 16 = 384 steps
+    n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    for i in range(n_bundles):
         key, sub = jax.random.split(key)
         state, loss, cnt = eng.train_bundle(state, sub)
     loss = float(loss)

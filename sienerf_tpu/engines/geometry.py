@@ -93,7 +93,8 @@ class GeometryEngine:
             if kind == "mesh":
                 tri = load_mesh(p)
                 tri = normalize_to_unit_cube(tri)
-                tri = tri + center  # center offset in NGP world units
+                scale = float(entry.get("scale", 1.0))  # extension: per-object scale
+                tri = (tri - 0.5) * scale + 0.5 + center
                 obj = GeometryObject("mesh", center, str(p), (n_tris, n_tris + len(tri)))
                 all_tris.append(tri)
                 all_obj_id.append(np.full(len(tri), len(objects), np.int32))
@@ -211,7 +212,9 @@ class GeometryEngine:
             clearcoat=self.brdf.clearcoat,
             clearcoat_gloss=self.brdf.clearcoat_gloss,
         )
-        depth = jnp.where(hit, t * dn[:, 0], jnp.inf)
+        # z-depth along the camera axis (reference shade_kernel depth_buffer
+        # convention: dot(cam_fwd, pos - cam)); t is euclidean along d
+        depth = jnp.where(hit, t / dn[:, 0], jnp.inf)
         return color, depth, hit
 
     # --- hybrid frame -----------------------------------------------------
@@ -279,7 +282,7 @@ class GeometryEngine:
         # are never generated (strictly better than the reference's post-hoc
         # per-fragment depth test, same visible result)
         nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
-            params, bf, o_local, dirs, near=NERF_RENDERING_NEAR_DISTANCE, t_cap=depth_buf
+            params, bf, o_local, dirs, t_cap=depth_buf
         )
         nerf_depth_world = nerf_depth
         in_front = (nerf_op > 0.0) & (nerf_depth_world < depth_buf)

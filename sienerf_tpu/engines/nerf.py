@@ -64,13 +64,23 @@ class NerfEngine:
     train_n_rays: int = 4096
     train_k: int = 64
     train_march_iters: int = 192
+    # Deep phase: until the occupancy grid carves, rays must be marched to
+    # their FULL extent or the model learns a view-dependent "billboard" at
+    # the march horizon (observed on fox: 27 PSNR from train views, fog from
+    # any other ray bundle, grid never carves).  The reference gets this for
+    # free from its dynamic ray/sample budgeting (NerfCounters): early
+    # batches are few rays x ~1000 samples.  Two static phases emulate it.
+    deep_k: int = 512
+    deep_march_iters: int = 1280
+    phase_switch_count: float = 0.75  # switch when mean samples < 0.75*deep_k
     near_distance: float = 0.1  # reference m_nerf.training.near_distance (nerf.h:119)
     grid_interval: int = 16  # occupancy update cadence (testbed.cu:4412-4434)
     dense_until: int = 256
     dense_every_updates: int = 16
     min_transmittance: float = 1e-4
-    render_chunk: int = 8  # samples between "compactions" (march config)
-    render_max_chunks: int = 160
+    render_chunk: int = 16  # samples between "compactions" (reference uses 8;
+    # larger chunks amortize per-round costs on TPU, lanes stay dense anyway)
+    render_max_chunks: int = 96
     # error-map importance sampling (testbed_nerf.cu:1778-1840, :3022-3075)
     use_error_map: bool = True
     error_map_res: int = 32
@@ -245,7 +255,7 @@ class NerfEngine:
         bg = jax.random.uniform(kbg, (n, 3))
         return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1])
 
-    def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None):
+    def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None, k=None, iters=None):
         origins, dirs, target, bg, ray_meta = self._sample_training_rays(
             data, key, n_rays, emap, step, params.get("cam") if self.optimize_extrinsics else None
         )
@@ -253,7 +263,8 @@ class NerfEngine:
         dirs_n = dirs / dn
         t0, t1 = self._aabb_times(origins, dirs_n, self.near_distance)
         ts, dts, counts, _ = march_rays(
-            self.march, occ_bitfield, origins, dirs_n, t0, t1, self.train_k, self.train_march_iters
+            self.march, occ_bitfield, origins, dirs_n, t0, t1,
+            k or self.train_k, iters or self.train_march_iters,
         )
         rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
         T_in = jnp.ones(origins.shape[0], jnp.float32)
@@ -267,7 +278,7 @@ class NerfEngine:
         per_ray = jnp.mean(per_elem, axis=-1)
         return jnp.mean(per_elem), (counts, per_ray, ray_meta)
 
-    def _train_one_step(self, state, data, key, n_rays=None, axis_name=None):
+    def _train_one_step(self, state, data, key, n_rays=None, axis_name=None, k=None, iters=None):
         """One SGD step.  With `axis_name`, rays are sharded over that mesh
         axis (key folded with the device index) and gradients are pmean'd —
         pure data parallelism: the model (hash table + MLPs + bitfield) is
@@ -278,7 +289,7 @@ class NerfEngine:
         def loss_of(p):
             loss, aux = self._loss_for_batch(
                 p, state["occ"]["bitfield"], data, key, n_rays,
-                state.get("emap"), state["step"],
+                state.get("emap"), state["step"], k, iters,
             )
             return loss, aux
 
@@ -304,44 +315,66 @@ class NerfEngine:
             new_state["emap"] = splat_errors(state["emap"], img_idx, u, v, per_ray)
         return new_state, loss, jnp.mean(counts.astype(jnp.float32))
 
-    def _bundle_body(self, state, data, key, n_rays=None, axis_name=None):
+    def _bundle_body(self, state, data, key, n_rays=None, axis_name=None, k=None, iters=None):
         kg, ks = jax.random.split(key)
         state = self._occupancy_update(state, kg, data, axis_name)
 
-        def body(st, k):
-            st, loss, cnt = self._train_one_step(st, data, k, n_rays, axis_name)
+        def body(st, kk):
+            st, loss, cnt = self._train_one_step(st, data, kk, n_rays, axis_name, k, iters)
             return st, (loss, cnt)
 
         keys = jax.random.split(ks, self.grid_interval)
         state, (losses, counts) = jax.lax.scan(body, state, keys)
         return state, jnp.mean(losses), jnp.mean(counts)
 
+    def _phase_geometry(self):
+        """(n_rays, k, march_iters) for the current phase."""
+        if getattr(self, "_phase", "deep") == "deep":
+            batch = self.train_n_rays * self.train_k
+            n_rays = max(64, batch // self.deep_k)
+            return n_rays, self.deep_k, self.deep_march_iters
+        return self.train_n_rays, self.train_k, self.train_march_iters
+
+    def _update_phase(self, mean_count: float, k: int):
+        if getattr(self, "_phase", "deep") == "deep" and mean_count < self.phase_switch_count * k:
+            self._phase = "fast"
+
     def train_bundle(self, state, key):
         """grid_interval train steps (scanned) + one occupancy update.
         Returns (state, mean_loss, mean_samples_per_ray)."""
-        return self._train_bundle_jit(state, key, self.data)
+        n_rays, k, iters = self._phase_geometry()
+        state, loss, cnt = self._train_bundle_jit(state, key, self.data, n_rays, k, iters)
+        self._update_phase(float(cnt), k)
+        return state, loss, cnt
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def _train_bundle_jit(self, state, key, data):
-        return self._bundle_body(state, data, key)
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6), donate_argnums=1)
+    def _train_bundle_jit(self, state, key, data, n_rays, k, iters):
+        return self._bundle_body(state, data, key, n_rays=n_rays, k=k, iters=iters)
 
     def train_bundle_multichip(self, state, key, mesh):
         """Data-parallel bundle over a `rays` mesh axis: params/occupancy
         replicated, ray batch sharded, gradients psum'd over ICI — the
         TPU-native replacement for the reference's CudaDevice replication
         (testbed.cu:5523-5573)."""
-        return self._train_bundle_multichip_jit(state, key, self.data, mesh)
+        n_rays, k, iters = self._phase_geometry()
+        state, loss, cnt = self._train_bundle_multichip_jit(
+            state, key, self.data, mesh, n_rays, k, iters
+        )
+        self._update_phase(float(cnt), k)
+        return state, loss, cnt
 
-    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
-    def _train_bundle_multichip_jit(self, state, key, data, mesh):
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7), donate_argnums=1)
+    def _train_bundle_multichip_jit(self, state, key, data, mesh, n_rays, k, iters):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         ndev = mesh.devices.size
-        n_local = max(256, self.train_n_rays // ndev)
+        n_local = max(64, n_rays // ndev)
 
         def inner(state, key, data):
-            st, loss, cnt = self._bundle_body(state, data, key, n_rays=n_local, axis_name="rays")
+            st, loss, cnt = self._bundle_body(
+                state, data, key, n_rays=n_local, axis_name="rays", k=k, iters=iters
+            )
             return st, loss, cnt
 
         f = shard_map(
@@ -448,9 +481,10 @@ class NerfEngine:
             jnp.zeros((N,), jnp.int32),
         )
         _, _, T, rgb, opacity, _, depth, _ = jax.lax.while_loop(cond, body, init)
-        # depth is z-distance along the (unnormalized) view ray; convert to
-        # the reference's convention of depth along the camera axis via dn.
-        return rgb, opacity, depth * dn[:, 0]
+        # internal t is euclidean distance along the normalized dir; the
+        # reference's depth convention is z-depth along the camera axis
+        # (dot(cam_fwd, pos-cam)), i.e. t / |dirs| for (x,y,1) camera rays.
+        return rgb, opacity, depth / dn[:, 0]
 
     @partial(jax.jit, static_argnums=(0, 3, 4, 7))
     def render_frame(
@@ -565,7 +599,7 @@ class NerfEngine:
             s2["out_rgb"] = s2["out_rgb"].at[tgt].set(rgb_acc, unique_indices=True)
             s2["out_op"] = s2["out_op"].at[tgt].set(op_acc, unique_indices=True)
             s2["out_depth"] = s2["out_depth"].at[tgt].set(
-                bt_n * s["dnorm"], unique_indices=True
+                bt_n / s["dnorm"], unique_indices=True
             )
             # refill dead slots from the pixel stream
             rank = jnp.cumsum(done.astype(jnp.int32))
