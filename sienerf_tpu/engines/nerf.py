@@ -262,6 +262,13 @@ class NerfEngine:
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         dirs_n = dirs / dn
         t0, t1 = self._aabb_times(origins, dirs_n, self.near_distance)
+        # first-sample jitter (reference generate_training_samples_nerf:
+        # startt += calc_dt(startt) * random): decorrelates the sample
+        # lattice across steps
+        from sienerf_tpu.ops.raymarch import calc_dt as _calc_dt
+
+        kj = jax.random.fold_in(key, 7)
+        t0 = t0 + _calc_dt(t0, self.march.cone_angle) * jax.random.uniform(kj, t0.shape)
         ts, dts, counts, _ = march_rays(
             self.march, occ_bitfield, origins, dirs_n, t0, t1,
             k or self.train_k, iters or self.train_march_iters,

@@ -62,11 +62,14 @@ class HashGridConfig:
     #    matches corner-layout PSNR (see tests/test_hashgrid.py).
     layout: str = "cell"
 
+    # Cell-layout rows: log2_hashmap_size counts ROWS (cells), matching the
+    # vertex-table row count of the corner layout.  Parameters grow by 2^D
+    # (corner features are duplicated per cell) — the collision rate is what
+    # determines quality, and halving rows to save params measurably
+    # destroys aabb>1 scenes (fox: occupancy never carves).
     @property
     def table_size(self) -> int:
         """Number of table rows (cells for cell layout, vertices otherwise)."""
-        if self.layout == "cell":
-            return 1 << max(self.log2_hashmap_size - self.n_dims, 4)
         return 1 << self.log2_hashmap_size
 
     @property

@@ -51,6 +51,7 @@ def test_hybrid_mesh_nerf_composition():
     ds = make_dataset()
     nerf_eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13, grid_size=32, train_k=32)
     nerf_eng.train_march_iters = 96
+    nerf_eng._phase = "fast"
     state = nerf_eng.init(0)
     key = jax.random.PRNGKey(0)
     for _ in range(8):
@@ -131,6 +132,7 @@ def test_probe_grid_on_trained_nerf():
     ds = make_dataset()
     eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=24)
     eng.train_march_iters = 64
+    eng._phase = "fast"
     state = eng.init(0)
     key = jax.random.PRNGKey(1)
     for _ in range(4):

@@ -21,6 +21,7 @@ def setup():
     ds = make_dataset()
     eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13, grid_size=32, train_k=32)
     eng.train_march_iters = 96
+    eng._phase = "fast"
     return eng, ds
 
 

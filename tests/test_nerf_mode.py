@@ -94,6 +94,7 @@ def trained():
     ds = make_dataset()
     eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 14, grid_size=32, train_k=48)
     eng.train_march_iters = 128
+    eng._phase = "fast"  # tiny scenes: skip the deep full-ray phase
     state = eng.init(0)
     key = jax.random.PRNGKey(0)
     losses = []

@@ -57,6 +57,7 @@ def test_snapshot_roundtrip(tmp_path):
     ds = make_dataset()
     eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=16)
     eng.train_march_iters = 32
+    eng._phase = "fast"
     state = eng.init(0)
     state, loss, _ = eng.train_bundle(state, jax.random.PRNGKey(0))
     p = tmp_path / "snap.ingp"
