@@ -138,7 +138,9 @@ class Session:
                 else:
                     self.state, loss = self.engine.train_bundle(self.state, sub)
                     done += 16
-            self.loss = float(loss)
+                # sync inside the timed region: dispatch is async and
+                # block_until_ready can return early through device tunnels
+                self.loss = float(loss)
             self.loss_graph.append(self.loss)
             self.training_step += bundle if self.mode == TestbedMode.NERF else 16
             if done % log_every < bundle:
