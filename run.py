@@ -56,6 +56,9 @@ def main(argv=None):
     from sienerf_tpu.session import Session
     from sienerf_tpu.utils import log
 
+    from sienerf_tpu.scenes import resolve_scene
+
+    args.scene = resolve_scene(args.scene)
     sess = Session(seed=args.seed)
     kwargs = {}
     from sienerf_tpu.session import mode_from_scene

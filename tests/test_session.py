@@ -153,3 +153,13 @@ def test_pyngp_compat_surface(tmp_path):
     assert np.isfinite(mse)
     tb.save_snapshot(str(tmp_path / "s.ingp"))
     tb.load_snapshot(str(tmp_path / "s.ingp"))
+
+
+def test_scene_registry():
+    from sienerf_tpu.scenes import ALL_SCENES, resolve_scene
+
+    assert "fox" in ALL_SCENES and "lego" in ALL_SCENES
+    p = resolve_scene("fox")
+    assert p.endswith("data/nerf/fox")
+    # passthrough for explicit paths
+    assert resolve_scene("/tmp") == "/tmp"
