@@ -191,6 +191,9 @@ class Session:
         from sienerf_tpu.io.snapshot import save_snapshot
 
         meta = {"mode": self.mode.value, "training_step": self.training_step}
+        phase = getattr(self.engine, "_phase", None)
+        if phase is not None:
+            meta["train_phase"] = phase
         save_snapshot(path, self.state, self.network_config, meta)
         log.success(f"saved snapshot {path}")
 
@@ -200,10 +203,43 @@ class Session:
         from sienerf_tpu.io.snapshot import load_snapshot
 
         payload = load_snapshot(path)
-        self.state = jax.tree.map(lambda x: x, payload["state"])
+        import jax.numpy as jnp
+
+        self.state = jax.tree.map(jnp.asarray, payload["state"])
         self.training_step = int(payload["meta"].get("training_step", 0))
+        if self.engine is not None and "train_phase" in payload["meta"]:
+            self.engine._phase = payload["meta"]["train_phase"]
         log.success(f"loaded snapshot {path} (step {self.training_step})")
         return payload
+
+    # --- evaluation overlays ---------------------------------------------------
+
+    def compare_view(self, view_index: int = 0, downscale: int = 1):
+        """Render a training view and return (pred, gt, error_overlay, psnr)
+        — the reference's GT-overlay / false-color error oracle
+        (render_frame_epilogue, testbed.cu:4977-5087)."""
+        import jax.numpy as jnp
+
+        from sienerf_tpu.metrics import psnr as psnr_of
+        from sienerf_tpu.ops.tonemap import error_overlay
+
+        if self.mode != TestbedMode.NERF:
+            raise RuntimeError("compare_view is NeRF-mode only")
+        eng = self.engine
+        w, h = eng.resolution[0] // downscale, eng.resolution[1] // downscale
+        from sienerf_tpu.ops.optim import inference_params
+
+        params = inference_params(self.state["opt"], self.state["params"])
+        rgba, _ = eng.render_frame(
+            params, self.state["occ"]["bitfield"], w, h,
+            eng.xforms[view_index],
+            tuple(np.asarray(eng.focals[view_index]) / downscale),
+            screen_center=tuple(np.asarray(eng.principal_points[view_index])),
+        )
+        pred = np.asarray(rgba[..., :3])
+        gt = eng.images[view_index][::downscale, ::downscale, :3]
+        err = np.asarray(error_overlay(jnp.asarray(pred), jnp.asarray(gt)))
+        return pred, gt, err, psnr_of(pred, gt)
 
     # --- mesh export ----------------------------------------------------------
 
