@@ -89,6 +89,10 @@ class NerfEngine:
     # testbed_nerf.cu:3077-3180); se3 deltas trained by autodiff
     optimize_extrinsics: bool = False
     extrinsics_lr_scale: float = 1e-3
+    # focal-length + per-image exposure optimization (reference
+    # adam_optimizer.h focal/exposure paths, testbed_nerf.cu:3101-3180)
+    optimize_focal: bool = False
+    optimize_exposure: bool = False
     # host-side dataset copies (set by create()); device copies live in .data
     images: np.ndarray | None = None
     xforms: np.ndarray | None = None
@@ -168,6 +172,10 @@ class NerfEngine:
         if self.optimize_extrinsics:
             n_img = self.images.shape[0]
             params["cam"] = jnp.zeros((n_img, 6), jnp.float32)  # (rot, trans) se3 deltas
+        if self.optimize_focal:
+            params["focal"] = jnp.zeros((2,), jnp.float32)  # log-scale on (fx, fy)
+        if self.optimize_exposure:
+            params["exposure"] = jnp.zeros((self.images.shape[0], 1), jnp.float32)
         state = {
             "params": params,
             "opt": optim_init(params, self.opt),
@@ -248,7 +256,10 @@ class NerfEngine:
         fl = data["focals"][img_idx]
         pp = data["pp"][img_idx]
         if cam_deltas is not None:
-            xf = _apply_se3_delta(xf, cam_deltas[img_idx])
+            if "cam" in cam_deltas:
+                xf = _apply_se3_delta(xf, cam_deltas["cam"][img_idx])
+            if "focal" in cam_deltas:
+                fl = fl * jnp.exp(cam_deltas["focal"])[None, :]
         origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens)
         flat = data["images"].reshape(-1, 4)
         target = jnp.take(flat, (img_idx * h + py) * w + px, axis=0)
@@ -256,8 +267,9 @@ class NerfEngine:
         return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1])
 
     def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None, k=None, iters=None):
+        cam_params = {k: params[k] for k in ("cam", "focal") if k in params} or None
         origins, dirs, target, bg, ray_meta = self._sample_training_rays(
-            data, key, n_rays, emap, step, params.get("cam") if self.optimize_extrinsics else None
+            data, key, n_rays, emap, step, cam_params
         )
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         dirs_n = dirs / dn
@@ -279,6 +291,10 @@ class NerfEngine:
             rgb, dens, ts, dts, valid, T_in, self.min_transmittance
         )
         pred = rgb_sum + T_out[:, None] * bg
+        if "exposure" in params:
+            # per-image exposure compensation applied to the prediction
+            img_idx = ray_meta[0]
+            pred = pred * jnp.exp(params["exposure"][img_idx])
         gt = target[:, :3] * target[:, 3:4] + bg * (1.0 - target[:, 3:4])
         loss_fn = get_loss(self.loss_otype)
         per_elem = loss_fn(pred, gt)
@@ -307,9 +323,11 @@ class NerfEngine:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
         lr_mask = None
-        if self.optimize_extrinsics:
+        if self.optimize_extrinsics or self.optimize_focal or self.optimize_exposure:
             lr_mask = jax.tree.map(lambda _: 1.0, state["params"])
-            lr_mask["cam"] = self.extrinsics_lr_scale
+            for leaf in ("cam", "focal", "exposure"):
+                if leaf in state["params"]:
+                    lr_mask[leaf] = self.extrinsics_lr_scale
         params, opt = optim_step(
             self.opt, state["opt"], state["params"], grads,
             nerf_l2_mask(state["params"]), lr_mask,

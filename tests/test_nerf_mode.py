@@ -176,3 +176,29 @@ def test_error_map_stays_ergodic():
     assert counts.min() > 50, counts
     # and samples span the full uv range
     assert float(u.max()) > 0.8 and float(v.max()) > 0.8
+
+
+def test_camera_focal_exposure_optimization_runs():
+    """Extrinsics/focal/exposure params receive gradients and stay finite."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=16)
+    eng.train_march_iters = 48
+    eng._phase = "fast"
+    eng.optimize_extrinsics = True
+    eng.optimize_focal = True
+    eng.optimize_exposure = True
+    state = eng.init(0)
+    assert state["params"]["cam"].shape == (N_VIEWS, 6)
+    assert state["params"]["focal"].shape == (2,)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+    assert np.isfinite(float(loss))
+    for leaf in ("cam", "focal", "exposure"):
+        assert np.isfinite(np.asarray(state["params"][leaf])).all()
+    # something moved
+    moved = sum(float(np.abs(np.asarray(state["params"][l])).sum()) for l in ("cam", "focal", "exposure"))
+    assert moved > 0
