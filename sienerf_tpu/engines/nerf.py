@@ -93,6 +93,10 @@ class NerfEngine:
     # adam_optimizer.h focal/exposure paths, testbed_nerf.cu:3101-3180)
     optimize_focal: bool = False
     optimize_exposure: bool = False
+    # trainable 32x32 2-channel distortion map (reference TrainableBuffer
+    # wiring, testbed.cu:4034-4045; configs' distortion_map block)
+    optimize_distortion: bool = False
+    distortion_resolution: int = 32
     # host-side dataset copies (set by create()); device copies live in .data
     images: np.ndarray | None = None
     xforms: np.ndarray | None = None
@@ -176,6 +180,9 @@ class NerfEngine:
             params["focal"] = jnp.zeros((2,), jnp.float32)  # log-scale on (fx, fy)
         if self.optimize_exposure:
             params["exposure"] = jnp.zeros((self.images.shape[0], 1), jnp.float32)
+        if self.optimize_distortion:
+            r = self.distortion_resolution
+            params["distortion"] = jnp.zeros((r, r, 2), jnp.float32)
         state = {
             "params": params,
             "opt": optim_init(params, self.opt),
@@ -260,14 +267,15 @@ class NerfEngine:
                 xf = _apply_se3_delta(xf, cam_deltas["cam"][img_idx])
             if "focal" in cam_deltas:
                 fl = fl * jnp.exp(cam_deltas["focal"])[None, :]
-        origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens)
+        dist = cam_deltas.get("distortion") if cam_deltas else None
+        origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens, dist)
         flat = data["images"].reshape(-1, 4)
         target = jnp.take(flat, (img_idx * h + py) * w + px, axis=0)
         bg = jax.random.uniform(kbg, (n, 3))
         return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1])
 
     def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None, k=None, iters=None):
-        cam_params = {k: params[k] for k in ("cam", "focal") if k in params} or None
+        cam_params = {k: params[k] for k in ("cam", "focal", "distortion") if k in params} or None
         origins, dirs, target, bg, ray_meta = self._sample_training_rays(
             data, key, n_rays, emap, step, cam_params
         )
@@ -738,7 +746,7 @@ class NerfEngine:
         return float(np.mean(psnrs)), psnrs
 
 
-def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens):
+def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens, distortion_grid=None):
     """Per-ray camera parameters (focal (N,2), principal (N,2), xform (N,3,4))."""
     w, h = resolution
     x = (uv[:, 0] - principal[:, 0]) * w / focal[:, 0]
@@ -753,6 +761,12 @@ def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens):
         x, y = iterative_opencv_lens_undistortion(lens.params, x, y)
     elif lens.mode == LensMode.OPENCV_FISHEYE and lens.is_distorted:
         x, y = iterative_opencv_fisheye_undistortion(lens.params, x, y)
+    if distortion_grid is not None:
+        from sienerf_tpu.ops.grids import bilinear_sample_2d
+
+        delta = bilinear_sample_2d(distortion_grid, uv)
+        x = x + delta[:, 0]
+        y = y + delta[:, 1]
     dir_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     rot = xform[:, :3, :3]
     dirs = jnp.einsum("nij,nj->ni", rot, dir_cam)

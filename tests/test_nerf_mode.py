@@ -189,7 +189,9 @@ def test_camera_focal_exposure_optimization_runs():
     eng.optimize_extrinsics = True
     eng.optimize_focal = True
     eng.optimize_exposure = True
+    eng.optimize_distortion = True
     state = eng.init(0)
+    assert state["params"]["distortion"].shape == (32, 32, 2)
     assert state["params"]["cam"].shape == (N_VIEWS, 6)
     assert state["params"]["focal"].shape == (2,)
     key = jax.random.PRNGKey(0)
@@ -197,7 +199,7 @@ def test_camera_focal_exposure_optimization_runs():
         key, sub = jax.random.split(key)
         state, loss, _ = eng.train_bundle(state, sub)
     assert np.isfinite(float(loss))
-    for leaf in ("cam", "focal", "exposure"):
+    for leaf in ("cam", "focal", "exposure", "distortion"):
         assert np.isfinite(np.asarray(state["params"][leaf])).all()
     # something moved
     moved = sum(float(np.abs(np.asarray(state["params"][l])).sum()) for l in ("cam", "focal", "exposure"))
