@@ -64,6 +64,17 @@ def main():
     print(f"# render {W}x{H}: {dt * 1e3:.1f} ms/frame, opacity_mean={float(rgba[..., 3].mean()):.3f}",
           file=sys.stderr)
 
+    # quality line (stderr): train-view PSNR at the dataset's own resolution
+    from sienerf_tpu.metrics import psnr as psnr_of
+
+    w_ds, h_ds = eng.resolution
+    rgba_q, _ = eng.render_frame(
+        params, bf, w_ds, h_ds, eng.xforms[0], tuple(np.asarray(eng.focals[0])),
+        screen_center=tuple(np.asarray(eng.principal_points[0])),
+    )
+    q = psnr_of(np.asarray(rgba_q[..., :3]), ds.images[0][..., :3])
+    print(f"# quality: train-view PSNR {q:.2f} at {n_bundles * eng.grid_interval} steps", file=sys.stderr)
+
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec",
         "value": rays_per_sec,

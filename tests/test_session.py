@@ -163,3 +163,27 @@ def test_scene_registry():
     assert p.endswith("data/nerf/fox")
     # passthrough for explicit paths
     assert resolve_scene("/tmp") == "/tmp"
+
+
+def test_converters_record3d_and_nsvf(tmp_path):
+    from sienerf_tpu.io.converters import nsvf_to_transforms, record3d_to_transforms
+
+    meta = {
+        "K": list(np.asarray([[500, 0, 0], [0, 500, 0], [360, 480, 1]], float).reshape(-1)),
+        "w": 720, "h": 960,
+        "poses": [[0, 0, 0, 1, 0.1, 0.2, 0.3], [0, 0, 0.7071, 0.7071, 1, 0, 0]],
+    }
+    p = tmp_path / "metadata.json"
+    p.write_text(json.dumps(meta))
+    t = record3d_to_transforms(p)
+    assert t["fl_x"] == 500 and len(t["frames"]) == 2
+    m = np.asarray(t["frames"][0]["transform_matrix"])
+    assert np.allclose(m[:3, 3], [0.1, 0.2, 0.3])
+
+    nsvf = tmp_path / "nsvf"
+    (nsvf / "pose").mkdir(parents=True)
+    (nsvf / "rgb").mkdir()
+    (nsvf / "intrinsics.txt").write_text("420 0 320 0 420 240 0 0 1")
+    (nsvf / "pose" / "0_000.txt").write_text(" ".join(map(str, np.eye(4).reshape(-1))))
+    t2 = nsvf_to_transforms(nsvf)
+    assert t2["fl_x"] == 420 and len(t2["frames"]) == 1
