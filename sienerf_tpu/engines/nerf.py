@@ -97,6 +97,13 @@ class NerfEngine:
     # wiring, testbed.cu:4034-4045; configs' distortion_map block)
     optimize_distortion: bool = False
     distortion_resolution: int = 32
+    # depth supervision (reference m_nerf.training.depth_supervision_lambda,
+    # nerf.h:124; loss term testbed_nerf.cu:1065-1067) — active when the
+    # dataset ships depth images
+    depth_supervision_lambda: float = 0.0
+    # rolling shutter / motion blur: per-pixel camera slerp between start and
+    # end xforms (common_device.cuh:656-659); vec4 (t0, du, dv, motionblur)
+    rolling_shutter: np.ndarray | None = None
     # host-side dataset copies (set by create()); device copies live in .data
     images: np.ndarray | None = None
     xforms: np.ndarray | None = None
@@ -149,6 +156,8 @@ class NerfEngine:
             resolution=dataset.resolution,
             lens=dataset.lens,
         )
+        if dataset.xforms_end is not None:
+            eng.rolling_shutter = np.asarray(dataset.rolling_shutter, np.float32)
         eng.visible_mask = np.asarray(
             mark_untrained_cells(
                 occ,
@@ -168,6 +177,10 @@ class NerfEngine:
             "pp": jnp.asarray(eng.principal_points),
             "visible_mask": jnp.asarray(eng.visible_mask),
         }
+        if dataset.xforms_end is not None:
+            eng.data["xforms_end"] = jnp.asarray(np.asarray(dataset.xforms_end, np.float32))
+        if dataset.depths is not None:
+            eng.data["depths"] = jnp.asarray(np.asarray(dataset.depths, np.float32))
         return eng
 
     def init(self, seed: int = 1337) -> dict:
@@ -260,6 +273,15 @@ class NerfEngine:
         py = jnp.minimum((v * h).astype(jnp.int32), h - 1)
         uv = jnp.stack([(px.astype(jnp.float32) + 0.5) / w, (py.astype(jnp.float32) + 0.5) / h], axis=-1)
         xf = data["xforms"][img_idx]
+        if self.rolling_shutter is not None and "xforms_end" in data:
+            # per-pixel shutter time + motion blur: slerp between the
+            # frame-start and frame-end camera (common_device.cuh:656-659)
+            from sienerf_tpu.utils.camera import camera_slerp
+
+            rs = self.rolling_shutter
+            tmb = jax.random.uniform(jax.random.fold_in(key, 11), (n,))
+            pixel_t = rs[0] + rs[1] * uv[:, 0] + rs[2] * uv[:, 1] + rs[3] * tmb
+            xf = camera_slerp(xf, data["xforms_end"][img_idx], pixel_t)
         fl = data["focals"][img_idx]
         pp = data["pp"][img_idx]
         if cam_deltas is not None:
@@ -269,14 +291,19 @@ class NerfEngine:
                 fl = fl * jnp.exp(cam_deltas["focal"])[None, :]
         dist = cam_deltas.get("distortion") if cam_deltas else None
         origins, dirs = _batched_uv_to_ray(uv, (w, h), fl, pp, xf, self.lens, dist)
-        flat = data["images"].reshape(-1, 4)
-        target = jnp.take(flat, (img_idx * h + py) * w + px, axis=0)
+        pix_flat = (img_idx * h + py) * w + px
+        target = jnp.take(data["images"].reshape(-1, 4), pix_flat, axis=0)
+        depth_target = (
+            jnp.take(data["depths"].reshape(-1), pix_flat, axis=0)
+            if "depths" in data
+            else None
+        )
         bg = jax.random.uniform(kbg, (n, 3))
-        return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1])
+        return origins, dirs, target, bg, (img_idx, uv[:, 0], uv[:, 1]), depth_target
 
     def _loss_for_batch(self, params, occ_bitfield, data, key, n_rays=None, emap=None, step=None, k=None, iters=None):
         cam_params = {k: params[k] for k in ("cam", "focal", "distortion") if k in params} or None
-        origins, dirs, target, bg, ray_meta = self._sample_training_rays(
+        origins, dirs, target, bg, ray_meta, depth_target = self._sample_training_rays(
             data, key, n_rays, emap, step, cam_params
         )
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -307,7 +334,25 @@ class NerfEngine:
         loss_fn = get_loss(self.loss_otype)
         per_elem = loss_fn(pred, gt)
         per_ray = jnp.mean(per_elem, axis=-1)
-        return jnp.mean(per_elem), (counts, per_ray, ray_meta)
+        # dynamic-mask pixels carry negative rgb and contribute nothing
+        # (testbed_nerf.cu:776-780 "Negative values indicate masked-away
+        # regions"); keep the mean's denominator fixed-shape by rescaling
+        ray_ok = target[:, 0] >= 0.0
+        per_ray = jnp.where(ray_ok, per_ray, 0.0)
+        denom = jnp.maximum(jnp.sum(ray_ok.astype(jnp.float32)), 1.0)
+        loss = jnp.sum(per_ray) / denom
+        if depth_target is not None and self.depth_supervision_lambda > 0.0:
+            # depth term (testbed_nerf.cu:1065-1067): only rays with valid
+            # depth (>0); prediction = expected ray termination distance
+            alpha = 1.0 - jnp.exp(-dens * dts)
+            cum = jnp.cumprod(1.0 - alpha, axis=1)
+            T_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+            wgt = alpha * T_excl
+            depth_pred = jnp.sum(wgt * ts, axis=1)
+            d_ok = ray_ok & (depth_target > 0.0)
+            d_err = jnp.where(d_ok, jnp.abs(depth_pred - depth_target), 0.0)
+            loss = loss + self.depth_supervision_lambda * jnp.sum(d_err) / denom
+        return loss, (counts, per_ray, ray_meta)
 
     def _train_one_step(self, state, data, key, n_rays=None, axis_name=None, k=None, iters=None):
         """One SGD step.  With `axis_name`, rays are sharded over that mesh

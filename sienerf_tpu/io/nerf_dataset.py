@@ -79,10 +79,16 @@ class NerfDataset:
     scale: float = NERF_SCALE
     offset: np.ndarray = field(default_factory=lambda: np.full(3, 0.5, np.float32))
     is_hdr: bool = False
-    depths: np.ndarray | None = None  # (N, H, W) optional metric depth
+    depths: np.ndarray | None = None  # (N, H, W) optional depth in NGP units (0 = none)
     sharpness: np.ndarray | None = None
     n_extra_learnable_dims: int = 0
     paths: list = field(default_factory=list)
+    # rolling shutter / motion blur (nerf_loader.cu:204-215): per-pixel time
+    # t = rs[0] + rs[1]*u + rs[2]*v + rs[3]*motionblur, slerped between
+    # xforms (start) and xforms_end
+    rolling_shutter: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
+    xforms_end: np.ndarray | None = None  # (N, 3, 4); None => static (== xforms)
+    has_masks: bool = False  # any dynamic_mask_* pixels (marked rgb=-1)
 
     @property
     def n_images(self) -> int:
@@ -139,6 +145,13 @@ def load_nerf_dataset(
 
     from sienerf_tpu.io.image_io import load_image
 
+    white_transparent = bool(meta.get("white_transparent", False))
+    black_transparent = bool(meta.get("black_transparent", False))
+    # depth images are uint16 scaled by integer_depth_scale (nerfcapture
+    # manifests; nerf_loader.cu:598-607 copy_depth)
+    integer_depth_scale = float(meta.get("integer_depth_scale", 1.0 / 65535.0))
+    enable_depth = bool(meta.get("enable_depth_loading", True))
+
     def load_one(fr):
         p = _resolve_image_path(base, fr["file_path"])
         if p is None:
@@ -148,7 +161,35 @@ def load_nerf_dataset(
         img = load_image(p, as_float_linear=(p.suffix.lower() == ".exr"))
         if downscale > 1:
             img = img[::downscale, ::downscale]
-        return p, img
+        # NSVF 'white = transparent' / black variant (nerf_loader.cu:48-56)
+        if white_transparent or black_transparent:
+            rgb = img[..., :3]
+            if white_transparent:
+                img[..., 3] = np.where((rgb >= 254.5 / 255.0).all(-1), 0.0, img[..., 3])
+            if black_transparent:
+                img[..., 3] = np.where((rgb <= 0.5 / 255.0).all(-1), 0.0, img[..., 3])
+        # dynamic masks: negative rgb marks masked-away pixels, which
+        # training skips (nerf_loader.cu:596-612, testbed_nerf.cu:776-780)
+        mask_p = p.parent / f"dynamic_mask_{p.stem}.png"
+        if mask_p.exists():
+            mask = load_image(mask_p, as_float_linear=False)[::downscale, ::downscale]
+            masked = mask[..., 0] > 0.5
+            img[..., :3] = np.where(masked[..., None], -1.0, img[..., :3])
+            img[..., 3] = np.where(masked, 0.0, img[..., 3])
+        depth = None
+        if enable_depth and fr.get("depth_path"):
+            dp = base / fr["depth_path"]
+            if dp.exists():
+                import cv2
+
+                d = cv2.imread(str(dp), cv2.IMREAD_UNCHANGED)
+                if d is not None:
+                    if d.ndim == 3:
+                        d = d[..., 0]
+                    # NGP units: u16 * integer_depth_scale (meters) * scene scale
+                    depth = d.astype(np.float32)[::downscale, ::downscale]
+                    depth *= integer_depth_scale * scale
+        return p, img, depth
 
     with futures.ThreadPoolExecutor(max_workers=16) as ex:
         loaded = list(ex.map(load_one, frames))
@@ -159,13 +200,21 @@ def load_nerf_dataset(
     frames = [fr for fr, _ in kept]
     paths = [pl[0] for _, pl in kept]
     imgs = [pl[1] for _, pl in kept]
+    depth_imgs = [pl[2] for _, pl in kept]
     h = max(im.shape[0] for im in imgs)
     w = max(im.shape[1] for im in imgs)
     images = np.zeros((len(imgs), h, w, 4), np.float32)
     for i, im in enumerate(imgs):
         images[i, : im.shape[0], : im.shape[1]] = im
+    depths = None
+    if any(d is not None for d in depth_imgs):
+        depths = np.zeros((len(imgs), h, w), np.float32)
+        for i, d in enumerate(depth_imgs):
+            if d is not None:
+                depths[i, : d.shape[0], : d.shape[1]] = d
 
     is_hdr = paths[0].suffix.lower() == ".exr"
+    has_masks = bool((images[..., :3] < 0).any())
 
     def focal_from(meta_or_frame, axis, res, other_res, other_angle_key):
         fl_key = "fl_x" if axis == 0 else "fl_y"
@@ -177,12 +226,24 @@ def load_nerf_dataset(
         return None
 
     xforms = np.zeros((len(frames), 3, 4), np.float32)
+    xforms_end = np.zeros((len(frames), 3, 4), np.float32)
+    any_end = False
     fls = np.zeros((len(frames), 2), np.float32)
     pps = np.zeros((len(frames), 2), np.float32)
     sharp = np.zeros((len(frames),), np.float32)
     for i, fr in enumerate(frames):
         src = {**meta, **fr}
-        xforms[i] = nerf_matrix_to_ngp(np.asarray(fr["transform_matrix"], np.float32), scale, offset)
+        # rolling-shutter datasets carry start/end matrices per frame
+        # (nerf_loader.cu:515-516)
+        m_start = np.asarray(
+            fr.get("transform_matrix_start", fr["transform_matrix"]), np.float32
+        )
+        m_end = fr.get("transform_matrix_end")
+        any_end = any_end or m_end is not None
+        xforms[i] = nerf_matrix_to_ngp(m_start, scale, offset)
+        xforms_end[i] = nerf_matrix_to_ngp(
+            np.asarray(m_end, np.float32) if m_end is not None else m_start, scale, offset
+        )
         fx = focal_from(src, 0, w, h, "camera_angle_y")
         fy = focal_from(src, 1, h, w, "camera_angle_x")
         if fx is None and fy is None:
@@ -204,6 +265,11 @@ def load_nerf_dataset(
         f"loaded NeRF dataset: {len(frames)} images @ {w}x{h}, aabb_scale={aabb_scale}, "
         f"scale={scale}, lens={lens.mode.value}"
     )
+    rs = np.zeros(4, np.float32)
+    if "rolling_shutter" in meta:
+        v = list(map(float, meta["rolling_shutter"]))
+        rs[: min(len(v), 4)] = v[:4]
+
     return NerfDataset(
         images=images,
         xforms=xforms,
@@ -215,7 +281,11 @@ def load_nerf_dataset(
         scale=scale,
         offset=offset,
         is_hdr=is_hdr,
+        depths=depths,
         sharpness=sharp,
         n_extra_learnable_dims=int(meta.get("n_extra_learnable_dims", 0)),
         paths=paths,
+        rolling_shutter=rs,
+        xforms_end=xforms_end if (any_end or rs.any()) else None,
+        has_masks=has_masks,
     )

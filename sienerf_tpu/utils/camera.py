@@ -190,6 +190,60 @@ def pixel_grid_uv(width: int, height: int, jitter=None):
     return jnp.stack([u, v], axis=-1)  # [H, W, 2]
 
 
+def rotation_to_quat(R):
+    """(...,3,3) rotation matrices -> (...,4) quaternions (w,x,y,z)."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # branchless Shepperd's method: compute all four candidate forms, pick
+    # the numerically safest (largest pivot)
+    qw = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 0.5
+    qx = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 0.5
+    qy = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 0.5
+    qz = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 0.5
+    qx = jnp.copysign(qx, m21 - m12)
+    qy = jnp.copysign(qy, m02 - m20)
+    qz = jnp.copysign(qz, m10 - m01)
+    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_to_rotation(q):
+    """(...,4) quaternions (w,x,y,z) -> (...,3,3) rotation matrices."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1)
+    row1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1)
+    row2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def camera_slerp(xf_a, xf_b, t):
+    """Slerp between (...,3,4) camera matrices at per-item t (...,).
+
+    Reference camera_slerp (common_device.cuh:651-654): rotation slerp +
+    translation lerp — used by rolling-shutter / motion-blur ray generation
+    via get_xform_given_rolling_shutter (common_device.cuh:656-659).
+    """
+    t = jnp.asarray(t, jnp.float32)[..., None]
+    qa = rotation_to_quat(xf_a[..., :3, :3])
+    qb = rotation_to_quat(xf_b[..., :3, :3])
+    # shortest arc
+    dot = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(dot < 0, -qb, qb)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    small = sin_theta < 1e-5
+    wa = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(small, 1.0, sin_theta))
+    wb = jnp.where(small, t, jnp.sin(t * theta) / jnp.where(small, 1.0, sin_theta))
+    q = wa * qa + wb * qb
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    R = quat_to_rotation(q)
+    trans = xf_a[..., :3, 3] * (1.0 - t) + xf_b[..., :3, 3] * t
+    return jnp.concatenate([R, trans[..., None]], axis=-1)
+
+
 def look_at_matrix(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
     """Build an NGP-convention (3,4) camera matrix looking from eye to target."""
     eye = np.asarray(eye, np.float32)

@@ -204,3 +204,89 @@ def test_camera_focal_exposure_optimization_runs():
     # something moved
     moved = sum(float(np.abs(np.asarray(state["params"][l])).sum()) for l in ("cam", "focal", "exposure"))
     assert moved > 0
+
+
+def test_dynamic_mask_rays_skipped():
+    """Rays hitting dynamic-mask pixels (negative rgb sentinel) contribute
+    nothing to the loss (reference testbed_nerf.cu:776-780)."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    ds_masked = make_dataset()
+    # mask out half of every image with the sentinel
+    ds_masked.images[:, :, : RES // 2, :3] = -1.0
+    ds_masked.images[:, :, : RES // 2, 3] = 0.0
+    eng = NerfEngine.create(tiny_config(), ds_masked, train_batch_size=1 << 12, grid_size=32, train_k=16)
+    eng.train_march_iters = 48
+    eng._phase = "fast"
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+    assert np.isfinite(float(loss))
+    # params stay finite despite sentinel pixels in the stream
+    assert np.isfinite(np.asarray(state["params"]["grid"])).all()
+
+
+def test_rolling_shutter_slerp():
+    """camera_slerp endpoints + midpoints; rolling-shutter training runs."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.utils.camera import camera_slerp
+
+    a = look_at_matrix([1.5, 0.5, 0.5], [0.5, 0.5, 0.5])
+    b = look_at_matrix([0.5, 0.5, 1.5], [0.5, 0.5, 0.5])
+    xa = jnp.asarray(a)[None]
+    xb = jnp.asarray(b)[None]
+    m0 = np.asarray(camera_slerp(xa, xb, jnp.asarray([0.0])))[0]
+    m1 = np.asarray(camera_slerp(xa, xb, jnp.asarray([1.0])))[0]
+    assert np.allclose(m0, a, atol=1e-5)
+    assert np.allclose(m1, b, atol=1e-5)
+    mid = np.asarray(camera_slerp(xa, xb, jnp.asarray([0.5])))[0]
+    # midpoint rotation stays orthonormal
+    assert np.allclose(mid[:, :3] @ mid[:, :3].T, np.eye(3), atol=1e-5)
+    # slerp follows the arc: midpoint camera z-axis halves the angle
+    za, zb, zm = a[:, 2], b[:, 2], mid[:, 2]
+    ang = lambda u, v: np.degrees(np.arccos(np.clip(np.dot(u, v), -1, 1)))
+    assert abs(ang(za, zm) - ang(zm, zb)) < 1e-3
+
+    ds = make_dataset()
+    ds.rolling_shutter = np.asarray([0.0, 0.0, 1.0, 0.25], np.float32)
+    ds.xforms_end = np.roll(ds.xforms, -1, axis=0)  # motion toward next view
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=16)
+    eng.train_march_iters = 48
+    eng._phase = "fast"
+    assert eng.rolling_shutter is not None and "xforms_end" in eng.data
+    state = eng.init(0)
+    state, loss, _ = eng.train_bundle(state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_depth_supervision():
+    """With GT depth supplied, the depth term pulls ray termination toward
+    the target (reference depth_supervision_lambda path)."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    # analytic depth: distance from camera to the ball surface (approx:
+    # eye-to-center distance minus radius), broadcast per image
+    depths = np.zeros((N_VIEWS, RES, RES), np.float32)
+    for i in range(N_VIEWS):
+        eye = ds.xforms[i][:, 3]
+        dist = float(np.linalg.norm(eye - 0.5)) - 0.18
+        depths[i] = dist
+    ds.depths = depths
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12, grid_size=32, train_k=24)
+    eng.train_march_iters = 64
+    eng._phase = "fast"
+    eng.depth_supervision_lambda = 0.5
+    assert "depths" in eng.data
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -166,24 +166,69 @@ def test_scene_registry():
 
 
 def test_converters_record3d_and_nsvf(tmp_path):
-    from sienerf_tpu.io.converters import nsvf_to_transforms, record3d_to_transforms
+    from sienerf_tpu.io.converters import (
+        find_center_of_attention,
+        nerfcapture_to_transforms,
+        nsvf_to_transforms,
+        record3d_to_transforms,
+    )
 
+    # cameras on a circle looking at the origin: center of attention = origin
+    s2 = np.sqrt(0.5)
+    # quats (xyzw): identity looks +z from z=-2; yaw 180 looks -z from z=+2
     meta = {
         "K": list(np.asarray([[500, 0, 0], [0, 500, 0], [360, 480, 1]], float).reshape(-1)),
         "w": 720, "h": 960,
-        "poses": [[0, 0, 0, 1, 0.1, 0.2, 0.3], [0, 0, 0.7071, 0.7071, 1, 0, 0]],
+        "poses": [
+            [0, 0, 0, 1, 0, 0, -2.0],
+            [0, 1, 0, 0, 0, 0, 2.0],
+            [0, s2, 0, s2, 2.0, 0, 0],
+            [0, -s2, 0, s2, -2.0, 0, 0],
+        ],
     }
     p = tmp_path / "metadata.json"
     p.write_text(json.dumps(meta))
     t = record3d_to_transforms(p)
-    assert t["fl_x"] == 500 and len(t["frames"]) == 2
-    m = np.asarray(t["frames"][0]["transform_matrix"])
-    assert np.allclose(m[:3, 3], [0.1, 0.2, 0.3])
+    assert t["fl_x"] == 500 and len(t["frames"]) == 4
+    assert t["aabb_scale"] == 16
+    # normalization: avg distance from center of attention becomes 4
+    ts = np.asarray([np.asarray(f["transform_matrix"])[:3, 3] for f in t["frames"]])
+    assert abs(np.mean(np.linalg.norm(ts, axis=1)) - 4.0) < 1e-5
+
+    mats = [np.asarray(f["transform_matrix"]) for f in t["frames"]]
+    c = find_center_of_attention(mats)
+    assert np.allclose(c, 0.0, atol=1e-6)  # normalized scene: center at origin
 
     nsvf = tmp_path / "nsvf"
     (nsvf / "pose").mkdir(parents=True)
     (nsvf / "rgb").mkdir()
     (nsvf / "intrinsics.txt").write_text("420 0 320 0 420 240 0 0 1")
+    (nsvf / "bbox.txt").write_text("-1 -1 -1 1 1 1 0.1")
     (nsvf / "pose" / "0_000.txt").write_text(" ".join(map(str, np.eye(4).reshape(-1))))
-    t2 = nsvf_to_transforms(nsvf)
+    (nsvf / "pose" / "2_000.txt").write_text(" ".join(map(str, np.eye(4).reshape(-1))))
+    splits = nsvf_to_transforms(nsvf)
+    assert set(splits) == {"train", "test"}
+    t2 = splits["train"]
     assert t2["fl_x"] == 420 and len(t2["frames"]) == 1
+    m = np.asarray(t2["frames"][0]["transform_matrix"])
+    # identity pose through the NSVF swizzle: rows swapped y/z, flips applied
+    expect = np.eye(4)
+    expect[0:3, 2] *= -1
+    expect[0:3, 1] *= -1
+    expect = expect[[0, 2, 1, 3], :]
+    expect[2, :] *= -1
+    # bbox centroid is origin, scale 0.5 affects only translation (zero here)
+    assert np.allclose(m, expect)
+
+    nc = nerfcapture_to_transforms(
+        [
+            {
+                "width": 64, "height": 48, "fl_x": 50, "fl_y": 50, "cx": 32, "cy": 24,
+                "transform_matrix": np.eye(4), "file_path": "images/0",
+                "depth_path": "images/0.depth.png",
+            }
+        ]
+    )
+    assert nc["w"] == 64 and len(nc["frames"]) == 1
+    assert abs(nc["integer_depth_scale"] - 10.0 / 65535.0) < 1e-12
+    assert nc["frames"][0]["depth_path"] == "images/0.depth.png"
