@@ -142,6 +142,51 @@ class GeometryEngine:
                 return
         raise KeyError(index_or_path)
 
+    def load_nerf_objects(self) -> int:
+        """Load every nerf object whose path is a snapshot file — reference
+        `.ingp`/msgpack or our native format (the reference loads NeRF scene
+        objects from snapshots inside load_scene,
+        testbed_geometry_training.cu:3170-3172).  Returns how many loaded."""
+        from sienerf_tpu.engines.nerf import NerfEngine
+
+        n = 0
+        for o in self.objects:
+            if o.kind != "nerf" or o.nerf is not None:
+                continue
+            p = Path(o.path)
+            if not p.exists() or p.suffix.lower() not in (".ingp", ".msgpack", ".snap"):
+                continue
+            from sienerf_tpu.session import _is_reference_snapshot
+
+            if _is_reference_snapshot(p):
+                eng, state = NerfEngine.from_ingp(p)
+            else:
+                from sienerf_tpu.io.snapshot import load_snapshot
+
+                import jax
+                import jax.numpy as jnp_
+
+                payload = load_snapshot(p)
+                cfg = payload.get("config") or {}
+                from sienerf_tpu.io.nerf_dataset import NerfDataset
+                from sienerf_tpu.utils.camera import look_at_matrix
+
+                ds = NerfDataset(
+                    images=np.zeros((1, 8, 8, 4), np.float32),
+                    xforms=look_at_matrix([0.5, 0.5, -1.0], [0.5, 0.5, 0.5])[None],
+                    focal_lengths=np.full((1, 2), 8.0, np.float32),
+                    principal_points=np.full((1, 2), 0.5, np.float32),
+                    resolution=(8, 8),
+                    aabb_scale=float(payload["meta"].get("aabb_scale", 1.0)),
+                )
+                eng = NerfEngine.create(cfg, ds)
+                state = jax.tree.map(jnp_.asarray, payload["state"])
+                eng._phase = payload["meta"].get("train_phase", "fast")
+            o.nerf = eng
+            o.nerf_state = state
+            n += 1
+        return n
+
     # --- mesh pass --------------------------------------------------------
 
     def _ambient_for(self, geom, pos, normals):

@@ -183,6 +183,62 @@ class NerfEngine:
             eng.data["depths"] = jnp.asarray(np.asarray(dataset.depths, np.float32))
         return eng
 
+    @staticmethod
+    def from_ingp(path, dataset: NerfDataset | None = None, train_batch_size: int = 1 << 18):
+        """Build an engine + state from a reference `.ingp`/`.msgpack`
+        snapshot (testbed.cu:5285-5495 load path; geometry scenes load NeRF
+        objects this way, testbed_geometry_training.cu:3170-3172).
+
+        Without a dataset the engine renders with user-supplied cameras;
+        training needs real data attached.  Returns (engine, state).
+        """
+        from sienerf_tpu.io.ingp import import_ingp
+        from sienerf_tpu.ops.occupancy import density_to_bitfield
+
+        out = import_ingp(path)
+        aabb_scale = out["meta"]["aabb_scale"]
+        if dataset is None:
+            from sienerf_tpu.utils.camera import look_at_matrix
+
+            c = 0.5
+            r = 0.5 + aabb_scale
+            dataset = NerfDataset(
+                images=np.zeros((1, 8, 8, 4), np.float32),
+                xforms=look_at_matrix([c, c, c - r], [c, c, c])[None].astype(np.float32),
+                focal_lengths=np.full((1, 2), 8.0, np.float32),
+                principal_points=np.full((1, 2), 0.5, np.float32),
+                resolution=(8, 8),
+                aabb_scale=aabb_scale,
+            )
+        eng = NerfEngine.create(out["config"], dataset, train_batch_size=train_batch_size)
+        state = eng.init(0)
+        params = dict(state["params"])
+        for k, v in out["params"].items():
+            params[k] = (
+                [jnp.asarray(w) for w in v] if isinstance(v, list) else jnp.asarray(v)
+            )
+        state["params"] = params
+        from sienerf_tpu.ops.optim import optim_init
+
+        state["opt"] = optim_init(params, eng.opt)
+        if out["density_grid"] is not None:
+            dens = jnp.asarray(out["density_grid"])
+            n_casc = state["occ"]["density"].shape[0]
+            if dens.shape[0] < n_casc:  # snapshot stored fewer cascades
+                pad = jnp.zeros((n_casc - dens.shape[0],) + dens.shape[1:], dens.dtype)
+                dens = jnp.concatenate([dens, pad])
+            dens = dens[:n_casc]
+            dens, bitfield, mean = density_to_bitfield(dens)
+            state["occ"] = {
+                "density": dens,
+                "bitfield": bitfield,
+                "mean_density": mean,
+                "n_updates": jnp.asarray(1, jnp.int32),
+            }
+        state["step"] = jnp.asarray(out["meta"]["training_step"], jnp.int32)
+        eng._phase = "fast"
+        return eng, state
+
     def init(self, seed: int = 1337) -> dict:
         key = jax.random.PRNGKey(seed)
         params = init_nerf_network(key, self.net)

@@ -115,6 +115,7 @@ class HashGridConfig:
             base_resolution=base,
             per_level_scale=pls,
             grid_type="Dense" if enc.get("otype", "HashGrid").lower().startswith("dense") else "Hash",
+            layout=enc.get("layout", "cell"),
         )
 
 

@@ -224,6 +224,21 @@ def update_density_grid(
             dm = jnp.maximum(dm, splat)
             density = density.at[m].set(dm.reshape(g, g, g))
 
+    density, bitfield, mean_density = density_to_bitfield(density, visible_mask)
+    return {
+        "density": density,
+        "bitfield": bitfield,
+        "mean_density": mean_density,
+        "n_updates": state["n_updates"] + 1,
+    }
+
+
+def density_to_bitfield(density: jnp.ndarray, visible_mask=None):
+    """(C,G,G,G) density -> (masked density, bitfield, mean) — the
+    mean-threshold + cascade max-pool tail of the grid update
+    (update_density_grid_mean_and_bitfield, testbed_nerf.cu:2863-2881).
+    Also used to rebuild occupancy from imported reference snapshots."""
+    c, g = density.shape[0], density.shape[1]
     if visible_mask is not None:
         density = jnp.where(visible_mask, density, -1.0)
 
@@ -242,10 +257,4 @@ def update_density_grid(
         bitfield = bitfield.at[m + 1].set(
             jax.lax.dynamic_update_slice(bitfield[m + 1], merged, (q, q, q))
         )
-
-    return {
-        "density": density,
-        "bitfield": bitfield,
-        "mean_density": mean_density,
-        "n_updates": state["n_updates"] + 1,
-    }
+    return density, bitfield, mean_density

@@ -46,6 +46,24 @@ def mode_from_scene(path: str | Path) -> TestbedMode:
     raise ValueError(f"cannot infer mode from scene {path}")
 
 
+def _is_reference_snapshot(path: str | Path) -> bool:
+    """Sniff a reference `.ingp`/msgpack snapshot vs our native container.
+    Both are zlib'd msgpack maps; the reference nests state under a
+    "snapshot" key (testbed.cu:5220), ours under "state"."""
+    import zlib
+
+    try:
+        raw = Path(path).read_bytes()
+        if raw[:1] == b"\x78":
+            raw = zlib.decompress(raw)
+        from sienerf_tpu.io import msgpack_lite
+
+        top = msgpack_lite.unpack(raw)
+        return isinstance(top, dict) and "snapshot" in top and "state" not in top
+    except Exception:
+        return False
+
+
 class Session:
     """Holds one engine + training state + host-side loop bookkeeping."""
 
@@ -109,6 +127,9 @@ class Session:
             from sienerf_tpu.engines.geometry import GeometryEngine
 
             self.engine = GeometryEngine.load_scene(scene, **engine_kwargs)
+            n = self.engine.load_nerf_objects()  # snapshot-backed NeRF objects
+            if n:
+                log.info(f"loaded {n} NeRF object snapshot(s)")
             self.state = {}
         else:
             raise ValueError(self.mode)
@@ -199,6 +220,18 @@ class Session:
 
     def load_snapshot(self, path: str | Path):
         import jax
+
+        if _is_reference_snapshot(path):
+            from sienerf_tpu.engines.nerf import NerfEngine
+
+            ds = getattr(self, "dataset", None)
+            self.engine, self.state = NerfEngine.from_ingp(path, dataset=ds)
+            self.mode = TestbedMode.NERF
+            self.training_step = int(self.state["step"])
+            if self._rng_key is None:
+                self._rng_key = jax.random.PRNGKey(self.seed)
+            log.success(f"imported reference snapshot {path} (step {self.training_step})")
+            return {"state": self.state}
 
         from sienerf_tpu.io.snapshot import load_snapshot
 
