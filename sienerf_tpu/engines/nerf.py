@@ -81,6 +81,10 @@ class NerfEngine:
     render_chunk: int = 16  # samples between "compactions" (reference uses 8;
     # larger chunks amortize per-round costs on TPU, lanes stay dense anyway)
     render_max_chunks: int = 96
+    # NerfCounters-style measured-batch feedback: grow/shrink the ray count
+    # so marched samples stay near n_rays*k (nerf.h:29-41); off by default
+    # to keep dispatch shapes stable
+    adapt_ray_count: bool = False
     # error-map importance sampling (testbed_nerf.cu:1778-1840, :3022-3075)
     use_error_map: bool = True
     error_map_res: int = 32
@@ -467,11 +471,22 @@ class NerfEngine:
             batch = self.train_n_rays * self.train_k
             n_rays = max(64, batch // self.deep_k)
             return n_rays, self.deep_k, self.deep_march_iters
-        return self.train_n_rays, self.train_k, self.train_march_iters
+        n_rays = getattr(self, "_adaptive_n_rays", None) or self.train_n_rays
+        return n_rays, self.train_k, self.train_march_iters
 
     def _update_phase(self, mean_count: float, k: int):
         if getattr(self, "_phase", "deep") == "deep" and mean_count < self.phase_switch_count * k:
             self._phase = "fast"
+        elif self.adapt_ray_count and mean_count > 0:
+            # NerfCounters feedback (nerf.h:29-41; testbed_nerf.cu:3230-3247):
+            # rays/batch adjusted so compacted samples ~= target batch.
+            # Quantized to power-of-two buckets so jit shapes stay few.
+            target = self.train_n_rays * self.train_k
+            want = target / mean_count
+            bucket = 1 << int(np.clip(np.round(np.log2(max(want, 256))), 8, 20))
+            self._adaptive_n_rays = int(
+                np.clip(bucket, self.train_n_rays // 4, self.train_n_rays * 16)
+            )
 
     def train_bundle(self, state, key):
         """grid_interval train steps (scanned) + one occupancy update.

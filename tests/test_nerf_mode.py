@@ -290,3 +290,25 @@ def test_depth_supervision():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_adaptive_ray_count():
+    """NerfCounters feedback: when rays march fewer samples than the k
+    budget, the ray count grows toward the target batch (nerf.h:29-41)."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13, grid_size=32, train_k=16)
+    eng.train_march_iters = 48
+    eng._phase = "fast"
+    eng.adapt_ray_count = True
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        state, loss, cnt = eng.train_bundle(state, sub)
+    # mean samples per ray is well under k=16 after the grid carves,
+    # so the adaptive count must exceed the static default
+    assert float(cnt) < 16.0
+    assert getattr(eng, "_adaptive_n_rays") >= eng.train_n_rays
+    assert np.isfinite(float(loss))
