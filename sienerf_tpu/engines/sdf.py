@@ -20,7 +20,7 @@ normals" path).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from functools import partial
 
 import jax
@@ -61,6 +61,7 @@ class SdfEngine:
     tri_cdf: jnp.ndarray  # (T,) area CDF
     bvh_dev: dict
     sdf_mode: MeshSdfMode = MeshSdfMode.WATERTIGHT
+    tak_tables: dict | None = None  # Takikawa octree lookup tables (or None)
     batch_size: int = 1 << 16
     surface_offset_std: float = 0.02  # near-surface perturbation scale
     trace_steps: int = 128
@@ -75,6 +76,25 @@ class SdfEngine:
         net = SingleNetworkConfig.from_network_config(network_config, n_input_dims=3, n_output_dims=1)
         opt = OptimizerSpec.from_network_config(network_config.get("optimizer", {}))
         bvh = build_bvh(triangles)
+        tak_tables = None
+        if net.takikawa is not None:
+            # Build the triangle octree at the configured depth, then rebuild
+            # the network config from the *actual* depth (the build can stop
+            # early on sparse meshes) so the MLP input width matches —
+            # mirroring the reference's octree (re)build + depth re-read in
+            # reset_network (testbed.cu:4148-4156).
+            from sienerf_tpu.geom.octree import build_triangle_octree, octree_device_tables
+
+            tree = build_triangle_octree(bvh.triangles, net.takikawa.depth)
+            if tree.depth <= net.takikawa.starting_level:
+                raise ValueError(
+                    f"octree depth {tree.depth} <= starting_level {net.takikawa.starting_level}"
+                )
+            cfg2 = dict(network_config)
+            cfg2["encoding"] = {**cfg2.get("encoding", {}), "n_levels": tree.depth}
+            net = SingleNetworkConfig.from_network_config(cfg2, n_input_dims=3, n_output_dims=1)
+            net = replace(net, takikawa_n_vertices=tree.n_vertices)
+            tak_tables = octree_device_tables(tree)
         # area CDF over the BVH-reordered triangle array (what we sample from)
         areas = triangle_areas(bvh.triangles)
         cdf = np.cumsum(areas)
@@ -88,6 +108,7 @@ class SdfEngine:
             tri_normals=jnp.asarray(triangle_normals(bvh.triangles)),
             tri_cdf=jnp.asarray(cdf.astype(np.float32)),
             bvh_dev=bvh.as_device_arrays(),
+            tak_tables=tak_tables,
             batch_size=batch_size,
         )
 
@@ -125,7 +146,7 @@ class SdfEngine:
     # --- training ---------------------------------------------------------
 
     def train_bundle(self, state, key, n_steps: int = 16):
-        geom = {"bvh": self.bvh_dev, "triangles": self.triangles, "cdf": self.tri_cdf}
+        geom = {"bvh": self.bvh_dev, "triangles": self.triangles, "cdf": self.tri_cdf, "tak": self.tak_tables}
         return self._train_bundle_jit(state, key, geom, n_steps)
 
     @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
@@ -137,7 +158,7 @@ class SdfEngine:
             loss_fn = get_loss(self.loss_otype)
 
             def loss_of(p):
-                pred = apply_single_network(self.net, p, pos)[:, 0]
+                pred = apply_single_network(self.net, p, pos, geom["tak"])[:, 0]
                 return jnp.mean(loss_fn(pred, target))
 
             loss, grads = jax.value_and_grad(loss_of)(st["params"])
@@ -150,9 +171,9 @@ class SdfEngine:
 
     # --- sphere tracing ---------------------------------------------------
 
-    def _sdf_fn(self, params):
+    def _sdf_fn(self, params, tables=None):
         def fn(pos):
-            return apply_single_network(self.net, params, pos)[:, 0]
+            return apply_single_network(self.net, params, pos, tables)[:, 0]
 
         return fn
 
@@ -198,15 +219,15 @@ class SdfEngine:
         hit = t < t_far - 1e-6
         return pos, t, hit, n_steps, jnp.clip(min_vis, 0.0, 1.0)
 
-    def _normals(self, params, pos):
+    def _normals(self, params, pos, tables=None):
         """Analytic normals: autodiff input gradient of the SDF network
         (reference FiniteDifferenceNormalsApproximator is the fallback)."""
-        g = jax.vmap(jax.grad(lambda p: apply_single_network(self.net, params, p[None])[0, 0]))(pos)
+        g = jax.vmap(jax.grad(lambda p: apply_single_network(self.net, params, p[None], tables)[0, 0]))(pos)
         n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         return n
 
     def render_frame(self, params, unused_opt, width, height, camera_matrix, ground_truth=False, render_mode="shade", **kw):
-        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals}
+        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals, "tak": self.tak_tables}
         return self._render_frame_jit(params, geom, width, height, camera_matrix, ground_truth, render_mode, **kw)
 
     @partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
@@ -252,9 +273,9 @@ class SdfEngine:
             st, stid, _, _ = bvh_raytrace(geom["bvh"], spos, jnp.broadcast_to(sun, spos.shape))
             shadow = jnp.where(stid >= 0, 0.0, 1.0)
         else:
-            sdf_fn = self._sdf_fn(params)
+            sdf_fn = self._sdf_fn(params, geom["tak"])
             pos, t, hit, n_steps, _ = self.sphere_trace(sdf_fn, o, d, t0, t1)
-            normals = self._normals(params, pos)
+            normals = self._normals(params, pos, geom["tak"])
             spos = pos + normals * 1e-3
             _, _, shadow_hit, _, min_vis = self.sphere_trace(
                 sdf_fn,
@@ -322,7 +343,7 @@ class SdfEngine:
             u = jax.random.uniform(sub, c.shape)
             pos = (c + u) / resolution
             gt = signed_distance(self.bvh_dev, pos, self.sdf_mode) < 0
-            pred = apply_single_network(self.net, params, pos)[:, 0] < 0
+            pred = apply_single_network(self.net, params, pos, self.tak_tables)[:, 0] < 0
             inter += int(jnp.sum(gt & pred))
             union += int(jnp.sum(gt | pred))
         return inter / max(union, 1)

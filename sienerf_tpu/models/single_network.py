@@ -23,6 +23,7 @@ from sienerf_tpu.ops.encodings import (
 )
 from sienerf_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid_params
 from sienerf_tpu.ops.mlp import MLPConfig, init_mlp_params, mlp_apply
+from sienerf_tpu.ops.takikawa import TakikawaConfig, init_takikawa_params, takikawa_encode
 
 
 @dataclass(frozen=True)
@@ -34,6 +35,12 @@ class SingleNetworkConfig:
     encoding_params: dict
     composite_specs: tuple
     mlp: MLPConfig
+    # Takikawa (octree) encoding needs mesh-derived lookup tables, so the
+    # final depth / vertex count are filled in by the SDF engine after the
+    # octree build (reference testbed.cu:4147-4162 rebuilds the octree and
+    # re-reads its depth the same way).
+    takikawa: TakikawaConfig | None = None
+    takikawa_n_vertices: int = 0
 
     @staticmethod
     def from_network_config(
@@ -46,7 +53,11 @@ class SingleNetworkConfig:
         otype = enc.get("otype", "Identity")
         grid = None
         composite_specs = ()
-        if otype.lower() in ("hashgrid", "densegrid", "grid", "tiledgrid"):
+        takikawa = None
+        if otype.lower() == "takikawa":
+            takikawa = TakikawaConfig.from_network_config(enc)
+            enc_out = takikawa.n_output_dims
+        elif otype.lower() in ("hashgrid", "densegrid", "grid", "tiledgrid"):
             grid = HashGridConfig.from_network_config(enc, n_dims=n_input_dims, aabb_scale=aabb_scale)
             enc_out = grid.n_output_dims
         elif otype.lower() == "composite":
@@ -68,6 +79,7 @@ class SingleNetworkConfig:
             encoding_params=dict(enc),
             composite_specs=composite_specs,
             mlp=mlp,
+            takikawa=takikawa,
         )
 
 
@@ -76,11 +88,17 @@ def init_single_network(key, config: SingleNetworkConfig) -> dict:
     params = {"mlp": init_mlp_params(k2, config.mlp)}
     if config.grid is not None:
         params["grid"] = init_hashgrid_params(k1, config.grid)
+    if config.takikawa is not None:
+        params["takikawa"] = init_takikawa_params(k1, config.takikawa_n_vertices)
     return params
 
 
-def encode_input(config: SingleNetworkConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def encode_input(config: SingleNetworkConfig, params: dict, x: jnp.ndarray, tables: dict | None = None) -> jnp.ndarray:
     ot = config.encoding_otype.lower()
+    if config.takikawa is not None:
+        if tables is None:
+            raise ValueError("Takikawa encoding requires octree tables (pass tables=...)")
+        return takikawa_encode(config.takikawa, tables, params["takikawa"], x)
     if config.grid is not None:
         return hashgrid_encode(config.grid, params["grid"], x)
     if ot == "composite":
@@ -96,9 +114,11 @@ def encode_input(config: SingleNetworkConfig, params: dict, x: jnp.ndarray) -> j
     raise ValueError(f"unsupported encoding {config.encoding_otype}")
 
 
-def apply_single_network(config: SingleNetworkConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def apply_single_network(
+    config: SingleNetworkConfig, params: dict, x: jnp.ndarray, tables: dict | None = None
+) -> jnp.ndarray:
     """x: (N, n_input_dims) -> (N, n_output_dims) fp32."""
-    feats = encode_input(config, params, x)
+    feats = encode_input(config, params, x, tables)
     return mlp_apply(config.mlp, params["mlp"], feats)
 
 
@@ -107,4 +127,6 @@ def l2_mask(config: SingleNetworkConfig, params: dict) -> dict:
     mask = {"mlp": [1.0 for _ in params["mlp"]]}
     if "grid" in params:
         mask["grid"] = 0.0
+    if "takikawa" in params:
+        mask["takikawa"] = 0.0
     return mask

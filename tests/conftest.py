@@ -28,3 +28,8 @@ def reference_data():
     if not REFERENCE_DATA.exists():
         pytest.skip("reference data not mounted")
     return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def configs_dir():
+    return pathlib.Path(__file__).resolve().parent.parent / "configs"
