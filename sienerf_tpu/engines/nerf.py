@@ -47,7 +47,14 @@ from sienerf_tpu.ops.occupancy import (
     update_density_grid,
 )
 from sienerf_tpu.ops.optim import OptimizerSpec, inference_params, optim_init, optim_step
-from sienerf_tpu.ops.raymarch import MarchConfig, cone_angle_for_aabb, composite_chunk, march_rays
+from sienerf_tpu.ops.raymarch import (
+    MarchConfig,
+    compact_samples,
+    composite_chunk,
+    composite_flat,
+    cone_angle_for_aabb,
+    march_rays,
+)
 from sienerf_tpu.utils.bbox import BoundingBox
 from sienerf_tpu.utils.camera import Lens, uv_to_ray
 
@@ -64,12 +71,18 @@ class NerfEngine:
     train_n_rays: int = 4096
     train_k: int = 64
     train_march_iters: int = 192
-    # Deep phase: until the occupancy grid carves, rays must be marched to
-    # their FULL extent or the model learns a view-dependent "billboard" at
-    # the march horizon (observed on fox: 27 PSNR from train views, fog from
-    # any other ray bundle, grid never carves).  The reference gets this for
-    # free from its dynamic ray/sample budgeting (NerfCounters): early
-    # batches are few rays x ~1000 samples.  Two static phases emulate it.
+    # Compacted training (default): march every ray to completion (up to
+    # max_samples_per_ray = reference NERF_STEPS), compact the valid samples
+    # into a dense M = train_n_rays*train_k buffer, and adapt the RAY COUNT
+    # to the measured samples/ray (NerfCounters, nerf.h:29-41).  Rays that
+    # would overflow the budget are dropped, never truncated — a truncated
+    # ray trains a view-dependent fog "billboard" at its march horizon,
+    # which keeps density high, which keeps the occupancy grid uncarved
+    # (observed on fox: grid stuck at 62% occupancy, 20 PSNR novel views).
+    compact_training: bool = True
+    max_samples_per_ray: int = 1024  # NERF_STEPS (nerf_device.cuh:24-35)
+    # Legacy two-phase path (compact_training=False): deep full-ray phase
+    # until the grid carves, then fixed-k truncated marching.
     deep_k: int = 512
     deep_march_iters: int = 1280
     phase_switch_count: float = 0.75  # switch when mean samples < 0.75*deep_k
@@ -376,15 +389,47 @@ class NerfEngine:
 
         kj = jax.random.fold_in(key, 7)
         t0 = t0 + _calc_dt(t0, self.march.cone_angle) * jax.random.uniform(kj, t0.shape)
-        ts, dts, counts, _ = march_rays(
+        k_eff = k or self.train_k
+        ts, dts, counts, t_end = march_rays(
             self.march, occ_bitfield, origins, dirs_n, t0, t1,
-            k or self.train_k, iters or self.train_march_iters,
+            k_eff, iters or self.train_march_iters,
         )
-        rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
-        T_in = jnp.ones(origins.shape[0], jnp.float32)
-        rgb_sum, opacity, T_out, _, _ = composite_chunk(
-            rgb, dens, ts, dts, valid, T_in, self.min_transmittance
-        )
+        n_rays_eff = origins.shape[0]
+        if self.compact_training:
+            M = self.train_n_rays * self.train_k
+            t_f, dt_f, ray_id, ray_start, fits = compact_samples(ts, dts, counts, M)
+            rid = jnp.minimum(ray_id, n_rays_eff - 1)
+            o_s = jnp.take(origins, rid, axis=0)
+            d_s = jnp.take(dirs_n, rid, axis=0)
+            pos = o_s + t_f[:, None] * d_s
+            unit = jnp.clip((pos - self.aabb.min) / self.aabb.diag, 0.0, 1.0)
+            dirw = (d_s + 1.0) * 0.5
+            rgb_raw, dens_raw = nerf_apply(self.net, params, unit, dirw)
+            rgb_s = apply_rgb_activation(rgb_raw, self.net.rgb_activation)
+            dens_s = apply_density_activation(dens_raw, self.net.density_activation)
+            rgb_sum, opacity, T_out, depth_pred = composite_flat(
+                rgb_s, dens_s, t_f, dt_f, ray_id, ray_start, n_rays_eff,
+                self.min_transmittance,
+            )
+            # A ray is trainable only if its march COMPLETED: it exited the
+            # scene (t_end >= t1) or fully absorbed (T below threshold).
+            # Rays cut mid-scene by the per-ray k cap or the iteration
+            # budget would otherwise be trained truncated — painting a
+            # view-dependent fog "billboard" at the march horizon (the
+            # reference marches every training ray to completion, so this
+            # condition is implicit there).
+            fits = fits & ((t_end >= t1) | (T_out < self.min_transmittance))
+        else:
+            rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
+            T_in = jnp.ones(origins.shape[0], jnp.float32)
+            rgb_sum, opacity, T_out, _, _ = composite_chunk(
+                rgb, dens, ts, dts, valid, T_in, self.min_transmittance
+            )
+            fits = jnp.ones((n_rays_eff,), bool)
+            alpha = 1.0 - jnp.exp(-dens * dts)
+            cum = jnp.cumprod(1.0 - alpha, axis=1)
+            T_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+            depth_pred = jnp.sum(alpha * T_excl * ts, axis=1)
         pred = rgb_sum + T_out[:, None] * bg
         if "exposure" in params:
             # per-image exposure compensation applied to the prediction
@@ -397,18 +442,13 @@ class NerfEngine:
         # dynamic-mask pixels carry negative rgb and contribute nothing
         # (testbed_nerf.cu:776-780 "Negative values indicate masked-away
         # regions"); keep the mean's denominator fixed-shape by rescaling
-        ray_ok = target[:, 0] >= 0.0
+        ray_ok = (target[:, 0] >= 0.0) & fits
         per_ray = jnp.where(ray_ok, per_ray, 0.0)
         denom = jnp.maximum(jnp.sum(ray_ok.astype(jnp.float32)), 1.0)
         loss = jnp.sum(per_ray) / denom
         if depth_target is not None and self.depth_supervision_lambda > 0.0:
             # depth term (testbed_nerf.cu:1065-1067): only rays with valid
             # depth (>0); prediction = expected ray termination distance
-            alpha = 1.0 - jnp.exp(-dens * dts)
-            cum = jnp.cumprod(1.0 - alpha, axis=1)
-            T_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
-            wgt = alpha * T_excl
-            depth_pred = jnp.sum(wgt * ts, axis=1)
             d_ok = ray_ok & (depth_target > 0.0)
             d_err = jnp.where(d_ok, jnp.abs(depth_pred - depth_target), 0.0)
             loss = loss + self.depth_supervision_lambda * jnp.sum(d_err) / denom
@@ -466,7 +506,33 @@ class NerfEngine:
         return state, jnp.mean(losses), jnp.mean(counts)
 
     def _phase_geometry(self):
-        """(n_rays, k, march_iters) for the current phase."""
+        """(n_rays, k, march_iters) for the next bundle.
+
+        Compact mode (default): NerfCounters-style measured-batch feedback
+        (nerf.h:29-41; testbed_nerf.cu:3230-3247) — every ray marches to
+        completion (k = per-ray cap), and the RAY COUNT tracks the measured
+        samples/ray so compacted samples ~= the M-sample batch.  Quantized
+        to power-of-two buckets so jit shapes stay few; slight overfill bias
+        (dropped rays only waste march, underfilled slots waste the
+        dominant eval).
+        """
+        if self.compact_training:
+            # Power-of-FOUR buckets: each distinct (n_rays, k) pair is a
+            # fresh XLA compile (~40s through the tunnel), so coarse buckets
+            # beat tight fitting — overfull ray batches only waste march
+            # (dropped rays never reach the fixed-M eval).
+            M = self.train_n_rays * self.train_k
+            mean = getattr(self, "_mean_samples", None)
+            if not mean or mean <= 0:
+                k = self.max_samples_per_ray
+                n_rays = max(64, M // k)
+            else:
+                k = int(np.clip(4 ** int(np.ceil(np.log(max(2.0 * mean, 16.0)) / np.log(4))),
+                                16, self.max_samples_per_ray))
+                want = 1.15 * M / mean
+                n_rays = 4 ** int(np.clip(np.round(np.log(max(want, 64.0)) / np.log(4)), 3, 8))
+            iters = int(k + k // 2 + 128)
+            return n_rays, k, iters
         if getattr(self, "_phase", "deep") == "deep":
             batch = self.train_n_rays * self.train_k
             n_rays = max(64, batch // self.deep_k)
@@ -475,6 +541,13 @@ class NerfEngine:
         return n_rays, self.train_k, self.train_march_iters
 
     def _update_phase(self, mean_count: float, k: int):
+        if self.compact_training:
+            if mean_count > 0:
+                prev = getattr(self, "_mean_samples", None)
+                self._mean_samples = (
+                    mean_count if not prev else 0.7 * prev + 0.3 * mean_count
+                )
+            return
         if getattr(self, "_phase", "deep") == "deep" and mean_count < self.phase_switch_count * k:
             self._phase = "fast"
         elif self.adapt_ray_count and mean_count > 0:
@@ -586,14 +659,17 @@ class NerfEngine:
             t1 = jnp.minimum(t1, t_cap * dn[:, 0])
         N = origins.shape[0]
 
-        # Per-ray sample budget = train_k: the model is only trained to
-        # explain pixels with this march (generate_training_samples' budget);
-        # marching deeper integrates density the loss never constrained
-        # (measured: 28.4 vs 20.2 PSNR on fox).  Empty-space skips are free,
-        # so the reach still grows as the occupancy grid carves.
+        # Per-ray sample budget = the TRAINING march budget: the model is
+        # only trained to explain pixels with that march; marching deeper
+        # integrates density the loss never constrained (measured: 28.4 vs
+        # 20.2 PSNR on fox with truncated-k training).  Compact training
+        # marches rays to completion, so the render budget is the full
+        # per-ray cap there.
+        budget = self._render_budget()
+
         def cond(st):
             i, t, T, _rgb, _op, _bw, _bt, used = st
-            alive = (T >= self.min_transmittance) & (t < t1) & (used < self.train_k)
+            alive = (T >= self.min_transmittance) & (t < t1) & (used < budget)
             return (i < self.render_max_chunks) & jnp.any(alive)
 
         def body(st):
@@ -601,7 +677,7 @@ class NerfEngine:
             ts, dts, counts, t_end = march_rays(
                 self.march, bitfield, origins, dirs_n, t, t1, self.render_chunk, self.render_chunk * 3
             )
-            active = (T >= self.min_transmittance) & (t < t1) & (used < self.train_k)
+            active = (T >= self.min_transmittance) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
             rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
             rgb_sum, opacity, T_out, bw, bt = composite_chunk(
@@ -662,26 +738,10 @@ class NerfEngine:
         n = width * height
         A = min(tile, max(256, n))
         bg = jnp.asarray(background, jnp.float32)
-
-        def make_rays(ids):
-            ids_c = jnp.minimum(ids, n - 1)
-            px = (ids_c % width).astype(jnp.float32)
-            py = (ids_c // width).astype(jnp.float32)
-            uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
-            o, d = uv_to_ray(
-                uv, (width, height), focal_length, camera_matrix, screen_center, self.lens
-            )
-            dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
-            d_n = d / dn
-            # render from the TRAINING near plane: the region closer than
-            # near_distance receives no gradient (generate_training_samples
-            # starts there too), so marching through it reads untrained
-            # density — a fog wall that destroys PSNR (measured 29.5 -> 11.7)
-            t0, t1 = self._aabb_times(o, d_n, max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance))
-            return o, d_n, dn[:, 0], t0, t1
+        cam_spec = (width, height, focal_length, camera_matrix, screen_center)
 
         ids0 = jnp.arange(A, dtype=jnp.int32)
-        o0, d0, dn0, t00, t10 = make_rays(ids0)
+        o0, d0, dn0, t00, t10 = self._frame_make_rays(ids0, n, cam_spec)
         zero = jnp.zeros((A,), jnp.float32)
         state = dict(
             ids=ids0,
@@ -699,88 +759,119 @@ class NerfEngine:
             chunks=jnp.zeros((A,), jnp.int32),
             used=jnp.zeros((A,), jnp.int32),
             cursor=jnp.asarray(A, jnp.int32),
-            out_rgb=jnp.zeros((n + 1, 3), jnp.float32),
-            out_op=jnp.zeros((n + 1,), jnp.float32),
-            out_depth=jnp.zeros((n + 1,), jnp.float32),
+            # packed per-pixel output rows [r, g, b, opacity, depth]
+            out=jnp.zeros((n + 1, 5), jnp.float32),
         )
 
-        def alive_of(s):
-            return (
-                s["valid"]
-                & (s["T"] >= self.min_transmittance)
-                & (s["t"] < s["t1"])
-                & (s["chunks"] < self.render_max_chunks)
-                # per-ray budget = the training march budget (see render_rays)
-                & (s["used"] < self.train_k)
-            )
-
         def cond(s):
-            return jnp.any(alive_of(s))
+            return jnp.any(self._frame_alive(s))
 
         def body(s):
-            ts, dts, counts, t_end = march_rays(
-                self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
-                self.render_chunk, self.render_chunk * 3,
-            )
-            rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
-            rgb_sum, opacity, T_out, bw, bt = composite_chunk(
-                rgb, dens, ts, dts, valid_s, s["T"], self.min_transmittance
-            )
-            was_alive = alive_of(s)
-            counts = jnp.where(was_alive, counts, 0)
-            rgb_acc = s["rgb"] + jnp.where(was_alive[:, None], rgb_sum, 0.0)
-            op_acc = s["op"] + jnp.where(was_alive, opacity, 0.0)
-            better = was_alive & (bw > s["bw"])
-            bw_n = jnp.where(better, bw, s["bw"])
-            bt_n = jnp.where(better, bt, s["bt"])
-            t_n = jnp.where(was_alive, t_end, s["t"])
-            T_n = jnp.where(was_alive, T_out, s["T"])
-            chunks_n = s["chunks"] + was_alive.astype(jnp.int32)
-            used_n = s["used"] + counts
-
-            s2 = {**s, "rgb": rgb_acc, "op": op_acc, "bw": bw_n, "bt": bt_n,
-                  "t": t_n, "T": T_n, "chunks": chunks_n, "used": used_n}
-            now_alive = alive_of(s2)
-            done = s["valid"] & ~now_alive
-            # flush finished rays (slot ids are unique; non-done slots write
-            # to the sacrificial row n, which is sliced off)
-            tgt = jnp.where(done, s["ids"], n)
-            s2["out_rgb"] = s2["out_rgb"].at[tgt].set(rgb_acc, unique_indices=True)
-            s2["out_op"] = s2["out_op"].at[tgt].set(op_acc, unique_indices=True)
-            s2["out_depth"] = s2["out_depth"].at[tgt].set(
-                bt_n / s["dnorm"], unique_indices=True
-            )
-            # refill dead slots from the pixel stream
-            rank = jnp.cumsum(done.astype(jnp.int32))
-            new_id = s["cursor"] + rank - 1
-            take = done & (new_id < n)
-            ids_n = jnp.where(take, new_id, s["ids"])
-            o_n, d_n2, dn_n, t0_n, t1_n = make_rays(ids_n)
-            sel = take[:, None]
-            s2["ids"] = ids_n
-            s2["o"] = jnp.where(sel, o_n, s["o"])
-            s2["d"] = jnp.where(sel, d_n2, s["d"])
-            s2["dnorm"] = jnp.where(take, dn_n, s["dnorm"])
-            s2["t"] = jnp.where(take, t0_n, s2["t"])
-            s2["t1"] = jnp.where(take, t1_n, s2["t1"])
-            s2["T"] = jnp.where(take, 1.0, s2["T"])
-            s2["rgb"] = jnp.where(sel, 0.0, s2["rgb"])
-            s2["op"] = jnp.where(take, 0.0, s2["op"])
-            s2["bw"] = jnp.where(take, 0.0, s2["bw"])
-            s2["bt"] = jnp.where(take, 0.0, s2["bt"])
-            s2["chunks"] = jnp.where(take, 0, s2["chunks"])
-            s2["used"] = jnp.where(take, 0, s2["used"])
-            s2["valid"] = now_alive | take
-            s2["cursor"] = s["cursor"] + jnp.sum(done.astype(jnp.int32))
-            return s2
+            return self._frame_round(s, params, bitfield, n, cam_spec)
 
         s = jax.lax.while_loop(cond, body, state)
-        rgb = s["out_rgb"][:n]
-        opacity = s["out_op"][:n]
-        depth = s["out_depth"][:n]
+        out = s["out"][:n]
+        rgb = out[:, :3]
+        opacity = out[:, 3]
+        depth = out[:, 4]
         rgb = rgb + (1.0 - opacity)[:, None] * bg
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+    def _frame_make_rays(self, ids, n, cam_spec):
+        width, height, focal_length, camera_matrix, screen_center = cam_spec
+        ids_c = jnp.minimum(ids, n - 1)
+        px = (ids_c % width).astype(jnp.float32)
+        py = (ids_c // width).astype(jnp.float32)
+        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+        o, d = uv_to_ray(
+            uv, (width, height), focal_length, camera_matrix, screen_center, self.lens
+        )
+        dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d_n = d / dn
+        # render from the TRAINING near plane: the region closer than
+        # near_distance receives no gradient (generate_training_samples
+        # starts there too), so marching through it reads untrained
+        # density — a fog wall that destroys PSNR (measured 29.5 -> 11.7)
+        t0, t1 = self._aabb_times(o, d_n, max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance))
+        return o, d_n, dn[:, 0], t0, t1
+
+    def _render_budget(self) -> int:
+        """Per-ray render sample budget = the training march budget (see
+        render_rays): full cap under compact training, train_k legacy."""
+        return self.max_samples_per_ray if self.compact_training else self.train_k
+
+    def _frame_alive(self, s):
+        return (
+            s["valid"]
+            & (s["T"] >= self.min_transmittance)
+            & (s["t"] < s["t1"])
+            & (s["chunks"] < self.render_max_chunks)
+            # per-ray budget = the training march budget (see render_rays)
+            & (s["used"] < self._render_budget())
+        )
+
+    def _frame_round(self, s, params, bitfield, n, cam_spec):
+        """One streaming-renderer round: march a chunk, evaluate + composite,
+        flush finished rays to the packed output, refill slots."""
+        ts, dts, counts, t_end = march_rays(
+            self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
+            self.render_chunk, self.render_chunk * 3,
+        )
+        rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
+        rgb_sum, opacity, T_out, bw, bt = composite_chunk(
+            rgb, dens, ts, dts, valid_s, s["T"], self.min_transmittance
+        )
+        was_alive = self._frame_alive(s)
+        counts = jnp.where(was_alive, counts, 0)
+        rgb_acc = s["rgb"] + jnp.where(was_alive[:, None], rgb_sum, 0.0)
+        op_acc = s["op"] + jnp.where(was_alive, opacity, 0.0)
+        better = was_alive & (bw > s["bw"])
+        bw_n = jnp.where(better, bw, s["bw"])
+        bt_n = jnp.where(better, bt, s["bt"])
+        t_n = jnp.where(was_alive, t_end, s["t"])
+        T_n = jnp.where(was_alive, T_out, s["T"])
+        chunks_n = s["chunks"] + was_alive.astype(jnp.int32)
+        used_n = s["used"] + counts
+
+        s2 = {**s, "rgb": rgb_acc, "op": op_acc, "bw": bw_n, "bt": bt_n,
+              "t": t_n, "T": T_n, "chunks": chunks_n, "used": used_n}
+        now_alive = self._frame_alive(s2)
+        done = s["valid"] & ~now_alive
+        # Flush finished rays with ONE packed, SORTED scatter (unsorted
+        # multi-scatters serialize on TPU); non-done slots target the
+        # sacrificial row n, which sorts to the end and is sliced off.
+        tgt = jnp.where(done, s["ids"], n)
+        payload = jnp.concatenate(
+            [rgb_acc, op_acc[:, None], (bt_n / s["dnorm"])[:, None]], axis=1
+        )
+        order = jnp.argsort(tgt)
+        s2["out"] = s2["out"].at[jnp.take(tgt, order)].set(
+            jnp.take(payload, order, axis=0), indices_are_sorted=True
+        )
+        # refill dead slots from the pixel stream
+        rank = jnp.cumsum(done.astype(jnp.int32))
+        new_id = s["cursor"] + rank - 1
+        take = done & (new_id < n)
+        ids_n = jnp.where(take, new_id, s["ids"])
+        o_n, d_n2, dn_n, t0_n, t1_n = self._frame_make_rays(ids_n, n, cam_spec)
+        sel = take[:, None]
+        s2["ids"] = ids_n
+        s2["o"] = jnp.where(sel, o_n, s["o"])
+        s2["d"] = jnp.where(sel, d_n2, s["d"])
+        s2["dnorm"] = jnp.where(take, dn_n, s["dnorm"])
+        s2["t"] = jnp.where(take, t0_n, s2["t"])
+        s2["t1"] = jnp.where(take, t1_n, s2["t1"])
+        s2["T"] = jnp.where(take, 1.0, s2["T"])
+        s2["rgb"] = jnp.where(sel, 0.0, s2["rgb"])
+        s2["op"] = jnp.where(take, 0.0, s2["op"])
+        s2["bw"] = jnp.where(take, 0.0, s2["bw"])
+        s2["bt"] = jnp.where(take, 0.0, s2["bt"])
+        s2["chunks"] = jnp.where(take, 0, s2["chunks"])
+        s2["used"] = jnp.where(take, 0, s2["used"])
+        s2["valid"] = now_alive | take
+        s2["cursor"] = s["cursor"] + jnp.sum(done.astype(jnp.int32))
+        return s2
 
     @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def render_frame_multichip(

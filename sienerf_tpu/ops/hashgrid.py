@@ -293,15 +293,20 @@ def _encode_fwd_impl(config: HashGridConfig, table, pos):
     N = pos.shape[0]
     if config.layout == "cell":
         idx, w, _, _, _ = _geometry_cell(config, pos)
-        tp = _pad_cell_table(config, table)  # (L, T, C*Fp)
-        Fp = tp.shape[2] // C
-        # per-level gathers: each level's table (<=8MB padded) gets staged
-        # close to the core, which is ~4x faster than one merged gather from
-        # the full multi-level table (measured 6.1ms vs 23.6ms for 2.1M rows)
+        # UNPADDED (C*F = 64B) rows for the forward gathers: at the 2^19-row
+        # table size, 64B rows gather at 158.6M rows/s vs 99.7M for the
+        # 128B-padded rows (measured on v5e; tools/profile_eval.py) — table
+        # bytes, not row count, dominate once the level exceeds ~16MB.  The
+        # 128B padding stays only where it is load-bearing: the backward
+        # scatter layout (_encode_bwd_impl).
+        tp = table.reshape(L, config.table_size, C * F)
+        # per-level gathers: staging each level's table separately is ~4x
+        # faster than one merged gather from the full multi-level table
+        # (measured 6.1ms vs 23.6ms for 2.1M rows)
         outs = []
         for l in range(L):
-            rows = jnp.take(tp[l], idx[:, l], axis=0)  # (N, C*Fp)
-            cf = rows.reshape(N, C, Fp)[..., :F]
+            rows = jnp.take(tp[l], idx[:, l], axis=0)  # (N, C*F)
+            cf = rows.reshape(N, C, F)
             outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))  # (N,F)
         out = jnp.stack(outs, axis=1)  # (N,L,F)
     else:

@@ -104,6 +104,84 @@ def march_rays(
     return ts, dts, k, t
 
 
+def compact_samples(ts, dts, counts, M: int):
+    """Compact a (N,K) marched-sample slab into a dense ray-major (M,)
+    sample stream — the TPU equivalent of the reference's compacted training
+    batch (generate_training_samples_nerf writes ray samples contiguously
+    into a fixed max_samples buffer, testbed_nerf.cu:737-892).
+
+    Rays that would overflow the M-sample budget are DROPPED entirely, like
+    the reference's overflow rays (they get zero samples and no gradient) —
+    truncating a ray mid-scene instead trains a fog "billboard" at the
+    truncation surface.
+
+    Gather-based (no scatter): each output slot finds its (ray, sample) via
+    one searchsorted over the per-ray prefix sums.
+
+    Returns (t (M,), dt (M,), ray_id (M,) int32 [== N for empty slots],
+    ray_start (N,) int32, fits (N,) bool).
+    """
+    N, K = ts.shape
+    prefix_incl = jnp.cumsum(counts)
+    fits = prefix_incl <= M
+    counts2 = jnp.where(fits, counts, 0)
+    prefix_incl2 = jnp.cumsum(counts2)
+    ray_start = (prefix_incl2 - counts2).astype(jnp.int32)
+    total = prefix_incl2[-1]
+    m = jnp.arange(M, dtype=jnp.int32)
+    ray_id = jnp.searchsorted(prefix_incl2, m, side="right").astype(jnp.int32)
+    rid_c = jnp.minimum(ray_id, N - 1)
+    j = m - jnp.take(ray_start, rid_c)
+    flat = rid_c * K + jnp.clip(j, 0, K - 1)
+    t = jnp.take(ts.reshape(-1), flat)
+    dt = jnp.take(dts.reshape(-1), flat)
+    ray_id = jnp.where(m < total, ray_id, N)
+    return t, dt, ray_id, ray_start, fits
+
+
+def composite_flat(
+    rgb,  # (M,3) activated colors
+    density,  # (M,) activated densities
+    ts,  # (M,)
+    dts,  # (M,)
+    ray_id,  # (M,) int32 ray segment ids, sorted; == n_rays for empty slots
+    ray_start,  # (n_rays,) int32 first-slot index per ray
+    n_rays: int,
+    min_transmittance: float = 1e-4,
+):
+    """Front-to-back emission-absorption over a ray-major compacted sample
+    stream (same math as composite_chunk, restructured for flat segments:
+    per-ray exclusive transmittance via a global log-space cumsum minus the
+    value at each ray's first slot).
+
+    Returns (rgb_sum (n,3), opacity (n,), T_out (n,), depth (n,) =
+    weighted expected termination distance).
+    """
+    M = ts.shape[0]
+    valid = ray_id < n_rays
+    rid = jnp.minimum(ray_id, n_rays - 1)
+    alpha = jnp.where(valid, 1.0 - jnp.exp(-density * dts), 0.0)
+    lg = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+    c = jnp.cumsum(lg)
+    c_excl = c - lg
+    base = jnp.take(c_excl, jnp.clip(jnp.take(ray_start, rid), 0, M - 1))
+    T_excl = jnp.exp(c_excl - base)
+    live = T_excl >= min_transmittance
+    w = jnp.where(valid & live, alpha * T_excl, 0.0)
+
+    def seg(v):
+        return jax.ops.segment_sum(
+            v, ray_id, num_segments=n_rays + 1, indices_are_sorted=True
+        )[:n_rays]
+
+    rgb_sum = seg(w[:, None] * rgb)
+    opacity = seg(w)
+    T_out = jnp.exp(seg(jnp.where(valid & live, lg, 0.0)))
+    T_out = jnp.where(T_out < min_transmittance, 0.0, T_out)
+    depth = seg(w * ts)
+    return rgb_sum, opacity, T_out, depth
+
+
 def composite_chunk(
     rgb: jnp.ndarray,  # (N,K,3) activated colors
     density: jnp.ndarray,  # (N,K) activated densities

@@ -215,6 +215,9 @@ class Session:
         phase = getattr(self.engine, "_phase", None)
         if phase is not None:
             meta["train_phase"] = phase
+        mean = getattr(self.engine, "_mean_samples", None)
+        if mean:
+            meta["mean_samples"] = float(mean)
         save_snapshot(path, self.state, self.network_config, meta)
         log.success(f"saved snapshot {path}")
 
@@ -242,6 +245,8 @@ class Session:
         self.training_step = int(payload["meta"].get("training_step", 0))
         if self.engine is not None and "train_phase" in payload["meta"]:
             self.engine._phase = payload["meta"]["train_phase"]
+        if self.engine is not None and "mean_samples" in payload["meta"]:
+            self.engine._mean_samples = float(payload["meta"]["mean_samples"])
         log.success(f"loaded snapshot {path} (step {self.training_step})")
         return payload
 

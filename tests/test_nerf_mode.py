@@ -292,9 +292,36 @@ def test_depth_supervision():
     assert losses[-1] < losses[0]
 
 
-def test_adaptive_ray_count():
-    """NerfCounters feedback: when rays march fewer samples than the k
-    budget, the ray count grows toward the target batch (nerf.h:29-41)."""
+def test_compact_training_adapts_ray_count():
+    """Compact mode (default): rays march to completion and the ray count
+    tracks measured samples/ray so compacted samples ~= the batch."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13, grid_size=32, train_k=16)
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    n0, k0, _ = eng._phase_geometry()
+    assert k0 == eng.max_samples_per_ray  # no mean estimate yet: full cap
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, loss, cnt = eng.train_bundle(state, sub)
+    n1, k1, _ = eng._phase_geometry()
+    mean = eng._mean_samples
+    assert mean > 0
+    # k bucket covers the measured mean (pow4 ceil of 2*mean: up to 8x);
+    # n_rays * mean ~= batch (pow4 buckets, 1.15 overfill bias)
+    assert k1 <= min(eng.max_samples_per_ray, max(32, 8 * mean))
+    # n_rays tracks batch/mean (pow4 buckets, 1.15 overfill bias) unless the
+    # 64-ray floor binds (tiny batches with deep marches)
+    assert (0.5 <= n1 * mean / (1 << 13) <= 3.0) or n1 == 64
+    assert np.isfinite(float(loss))
+
+
+def test_adaptive_ray_count_legacy():
+    """Legacy NerfCounters feedback (compact_training=False): when rays
+    march fewer samples than the k budget, the ray count grows toward the
+    target batch (nerf.h:29-41)."""
     from sienerf_tpu.engines.nerf import NerfEngine
 
     ds = make_dataset()
@@ -302,6 +329,7 @@ def test_adaptive_ray_count():
     eng.train_march_iters = 48
     eng._phase = "fast"
     eng.adapt_ray_count = True
+    eng.compact_training = False
     state = eng.init(0)
     key = jax.random.PRNGKey(0)
     for _ in range(4):

@@ -141,3 +141,54 @@ def test_density_grid_update_thresholds():
     frac = bf.mean()
     expected = 4 / 3 * np.pi * 0.2**3
     assert abs(frac - expected) < 0.01
+
+
+def test_compact_samples_matches_slab():
+    """compact_samples + composite_flat reproduce the slab compositing
+    (composite_chunk) exactly for rays that fit the budget."""
+    from sienerf_tpu.ops.raymarch import compact_samples, composite_chunk, composite_flat
+
+    rng = np.random.default_rng(3)
+    N, K, M = 8, 12, 128
+    counts = jnp.asarray(rng.integers(0, K + 1, N), jnp.int32)
+    ts = jnp.asarray(np.sort(rng.uniform(0.1, 2.0, (N, K)), axis=1), jnp.float32)
+    dts = jnp.asarray(rng.uniform(0.01, 0.1, (N, K)), jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (N, K, 3)), jnp.float32)
+    dens = jnp.asarray(rng.uniform(0, 20.0, (N, K)), jnp.float32)
+
+    valid = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1) < counts[:, None]
+    dens_m = jnp.where(valid, dens, 0.0)
+    rgb_ref, op_ref, T_ref, _, _ = composite_chunk(
+        rgb, dens_m, ts, dts, valid, jnp.ones((N,)), 1e-4
+    )
+
+    t_f, dt_f, ray_id, ray_start, fits = compact_samples(ts, dts, counts, M)
+    assert bool(jnp.all(fits))  # M is big enough
+    # slot order is ray-major: gather the per-slot rgb/dens from the slab
+    rid = jnp.minimum(ray_id, N - 1)
+    j = jnp.arange(M) - jnp.take(ray_start, rid)
+    flat = rid * K + jnp.clip(j, 0, K - 1)
+    rgb_f = jnp.take(rgb.reshape(-1, 3), flat, axis=0)
+    dens_f = jnp.take(dens.reshape(-1), flat)
+    rgb_o, op_o, T_o, _ = composite_flat(
+        rgb_f, dens_f, t_f, dt_f, ray_id, ray_start, N, 1e-4
+    )
+    np.testing.assert_allclose(np.asarray(rgb_o), np.asarray(rgb_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(op_o), np.asarray(op_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(T_o), np.asarray(T_ref), atol=2e-4)
+
+
+def test_compact_samples_drops_overflow_rays():
+    from sienerf_tpu.ops.raymarch import compact_samples
+
+    N, K = 4, 8
+    counts = jnp.asarray([8, 8, 8, 8], jnp.int32)
+    ts = jnp.broadcast_to(jnp.arange(K, dtype=jnp.float32)[None], (N, K))
+    dts = jnp.ones((N, K), jnp.float32)
+    t_f, dt_f, ray_id, ray_start, fits = compact_samples(ts, dts, counts, 20)
+    # rays 0 and 1 fit (16 samples), ray 2 would overflow (24 > 20) -> all
+    # later rays dropped entirely, never truncated
+    assert list(np.asarray(fits)) == [True, True, False, False]
+    rid = np.asarray(ray_id)
+    assert (rid[:16] < 2).all()
+    assert (rid[16:] == N).all()  # sacrificial

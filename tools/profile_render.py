@@ -24,7 +24,9 @@ CACHE = Path(__file__).resolve().parent.parent / ".cache"
 CACHE.mkdir(exist_ok=True)
 
 
-def get_state(n_bundles=48):
+def get_state(n_bundles=48, cache_name=None):
+    import os
+
     from sienerf_tpu.engines.nerf import NerfEngine
     from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
     from sienerf_tpu.utils.config import load_network_config
@@ -32,13 +34,15 @@ def get_state(n_bundles=48):
     ds = load_nerf_dataset("/root/reference/data/nerf/fox", downscale=4, max_images=24)
     cfg = load_network_config("/root/reference/configs/nerf/base.json")
     eng = NerfEngine.create(cfg, ds, train_batch_size=1 << 18)
-    f = CACHE / "fox_prof.pkl"
+    f = CACHE / (cache_name or os.environ.get("FOX_CACHE", "fox_prof.pkl"))
     if f.exists():
         with open(f, "rb") as fh:
             blob = pickle.load(fh)
         state = jax.tree.map(jnp.asarray, blob["state"])
         eng._phase = blob["phase"]
-        print(f"# loaded cached state (step {int(state['step'])})")
+        if blob.get("mean_samples"):
+            eng._mean_samples = blob["mean_samples"]
+        print(f"# loaded cached state {f.name} (step {int(state['step'])})")
     else:
         state = eng.init(0)
         key = jax.random.PRNGKey(0)
