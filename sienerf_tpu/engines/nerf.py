@@ -49,6 +49,7 @@ from sienerf_tpu.ops.occupancy import (
 from sienerf_tpu.ops.optim import OptimizerSpec, inference_params, optim_init, optim_step
 from sienerf_tpu.ops.raymarch import (
     MarchConfig,
+    advance_to_occupied,
     compact_samples,
     composite_chunk,
     composite_flat,
@@ -94,6 +95,17 @@ class NerfEngine:
     render_chunk: int = 16  # samples between "compactions" (reference uses 8;
     # larger chunks amortize per-round costs on TPU, lanes stay dense anyway)
     render_max_chunks: int = 96
+    # bf16-packed hash table for the (forward-only) render path: 32-byte
+    # rows cut the 720p fox frame from 10.7s to 7.2s on v5e (measured);
+    # PSNR delta is within bf16 feature precision (tests/test_hashgrid.py)
+    render_bf16_table: bool = True
+    # interactive render early-out (reference render_min_transmittance,
+    # nerf.h:172 default 0.01); the eval protocol overrides to 1e-4
+    # (scripts/run.py:230) via the render calls' min_transmittance arg
+    render_min_transmittance: float = 0.01
+    # frame-level ray-init advance to the first occupied voxel (reference
+    # advance_pos_nerf_kernel); 0 disables
+    init_advance_iters: int = 160
     # NerfCounters-style measured-batch feedback: grow/shrink the ray count
     # so marched samples stay near n_rays*k (nerf.h:29-41); off by default
     # to keep dispatch shapes stable
@@ -641,7 +653,8 @@ class NerfEngine:
     # --- rendering --------------------------------------------------------
 
     def render_rays(
-        self, params, bitfield, origins, dirs, near=None, t_cap=None
+        self, params, bitfield, origins, dirs, near=None, t_cap=None,
+        min_transmittance=None,
     ):
         """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
 
@@ -649,12 +662,28 @@ class NerfEngine:
         evals; on-device termination when every ray is dead.  `t_cap`
         (optional, per-ray, in units of the unnormalized `dirs`) bounds the
         march — used by the hybrid geometry pass to stop at mesh surfaces.
+        `min_transmittance` defaults to the interactive early-out threshold
+        (render_min_transmittance); the eval protocol passes 1e-4.
         """
         if near is None:
             near = max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance)
+        minT = jnp.asarray(
+            self.render_min_transmittance if min_transmittance is None else min_transmittance,
+            jnp.float32,
+        )
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         dirs_n = dirs / dn
         t0, t1 = self._aabb_times(origins, dirs_n, near)
+        # clamp entry/exit to the tight occupied-cell bbox (the reference
+        # advances rays to the first occupied voxel at init instead,
+        # advance_pos_nerf_kernel testbed_nerf.cu:364)
+        from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
+
+        blo, bhi = occupied_bbox(bitfield)
+        btmin, btmax = ray_box_times(origins, dirs_n, blo, bhi)
+        t0 = jnp.maximum(t0, btmin)
+        t1 = jnp.minimum(t1, btmax)
+        t1 = jnp.maximum(t1, t0)
         if t_cap is not None:
             t1 = jnp.minimum(t1, t_cap * dn[:, 0])
         N = origins.shape[0]
@@ -669,7 +698,7 @@ class NerfEngine:
 
         def cond(st):
             i, t, T, _rgb, _op, _bw, _bt, used = st
-            alive = (T >= self.min_transmittance) & (t < t1) & (used < budget)
+            alive = (T >= minT) & (t < t1) & (used < budget)
             return (i < self.render_max_chunks) & jnp.any(alive)
 
         def body(st):
@@ -677,11 +706,11 @@ class NerfEngine:
             ts, dts, counts, t_end = march_rays(
                 self.march, bitfield, origins, dirs_n, t, t1, self.render_chunk, self.render_chunk * 3
             )
-            active = (T >= self.min_transmittance) & (t < t1) & (used < budget)
+            active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
             rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
             rgb_sum, opacity, T_out, bw, bt = composite_chunk(
-                rgb, dens, ts, dts, valid, T, self.min_transmittance
+                rgb, dens, ts, dts, valid, T, minT
             )
             better = bw > best_w
             return (
@@ -723,6 +752,7 @@ class NerfEngine:
         tile: int = 1 << 15,
         screen_center=(0.5, 0.5),
         background=(0.0, 0.0, 0.0),
+        min_transmittance=None,
     ):
         """Render a full frame with a streaming persistent ray buffer.
 
@@ -739,9 +769,25 @@ class NerfEngine:
         A = min(tile, max(256, n))
         bg = jnp.asarray(background, jnp.float32)
         cam_spec = (width, height, focal_length, camera_matrix, screen_center)
+        params = self._render_params(params)
+        from sienerf_tpu.ops.occupancy import occupied_bbox
+
+        bounds = occupied_bbox(bitfield)
+
+        # pre-advance every pixel's ray to its first occupied voxel in one
+        # big masked DDA (no samples, no eval) so streaming rounds start on
+        # content (advance_pos_nerf_kernel, testbed_nerf.cu:364)
+        t0_pre = None
+        if self.init_advance_iters > 0:
+            ids_all = jnp.arange(n, dtype=jnp.int32)
+            o_a, d_a, _, t0_a, t1_a = self._frame_make_rays(ids_all, n, cam_spec, bounds)
+            t_adv = advance_to_occupied(
+                self.march, bitfield, o_a, d_a, t0_a, t1_a, self.init_advance_iters
+            )
+            t0_pre = jnp.concatenate([t_adv, jnp.zeros((1,), jnp.float32)])
 
         ids0 = jnp.arange(A, dtype=jnp.int32)
-        o0, d0, dn0, t00, t10 = self._frame_make_rays(ids0, n, cam_spec)
+        o0, d0, dn0, t00, t10 = self._frame_make_rays(ids0, n, cam_spec, bounds, t0_pre)
         zero = jnp.zeros((A,), jnp.float32)
         state = dict(
             ids=ids0,
@@ -759,6 +805,14 @@ class NerfEngine:
             chunks=jnp.zeros((A,), jnp.int32),
             used=jnp.zeros((A,), jnp.int32),
             cursor=jnp.asarray(A, jnp.int32),
+            # interactive early-out threshold (reference nerf.h:172); the
+            # eval protocol passes 1e-4 (scripts/run.py:230)
+            minT=jnp.asarray(
+                self.render_min_transmittance
+                if min_transmittance is None
+                else min_transmittance,
+                jnp.float32,
+            ),
             # packed per-pixel output rows [r, g, b, opacity, depth]
             out=jnp.zeros((n + 1, 5), jnp.float32),
         )
@@ -767,7 +821,7 @@ class NerfEngine:
             return jnp.any(self._frame_alive(s))
 
         def body(s):
-            return self._frame_round(s, params, bitfield, n, cam_spec)
+            return self._frame_round(s, params, bitfield, n, cam_spec, bounds, t0_pre)
 
         s = jax.lax.while_loop(cond, body, state)
         out = s["out"][:n]
@@ -778,7 +832,7 @@ class NerfEngine:
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
-    def _frame_make_rays(self, ids, n, cam_spec):
+    def _frame_make_rays(self, ids, n, cam_spec, bounds=None, t0_pre=None):
         width, height, focal_length, camera_matrix, screen_center = cam_spec
         ids_c = jnp.minimum(ids, n - 1)
         px = (ids_c % width).astype(jnp.float32)
@@ -794,7 +848,27 @@ class NerfEngine:
         # starts there too), so marching through it reads untrained
         # density — a fog wall that destroys PSNR (measured 29.5 -> 11.7)
         t0, t1 = self._aabb_times(o, d_n, max(NERF_RENDERING_NEAR_DISTANCE, self.near_distance))
+        if bounds is not None:
+            # tight occupied-region entry/exit (see render_rays)
+            from sienerf_tpu.ops.occupancy import ray_box_times
+
+            btmin, btmax = ray_box_times(o, d_n, bounds[0], bounds[1])
+            t0 = jnp.maximum(t0, btmin)
+            t1 = jnp.maximum(jnp.minimum(t1, btmax), t0)
+        if t0_pre is not None:
+            t0 = jnp.minimum(jnp.take(t0_pre, ids_c), t1)
         return o, d_n, dn[:, 0], t0, t1
+
+    def _render_params(self, params):
+        """Swap in the bf16-packed hash table for forward-only rendering."""
+        if self.render_bf16_table and self.net.grid.layout == "cell":
+            from sienerf_tpu.ops.hashgrid import pack_table_bf16
+
+            p = dict(params)
+            p["grid_bf16"] = pack_table_bf16(self.net.grid, params["grid"])
+            del p["grid"]
+            return p
+        return params
 
     def _render_budget(self) -> int:
         """Per-ray render sample budget = the training march budget (see
@@ -804,14 +878,14 @@ class NerfEngine:
     def _frame_alive(self, s):
         return (
             s["valid"]
-            & (s["T"] >= self.min_transmittance)
+            & (s["T"] >= s["minT"])
             & (s["t"] < s["t1"])
             & (s["chunks"] < self.render_max_chunks)
             # per-ray budget = the training march budget (see render_rays)
             & (s["used"] < self._render_budget())
         )
 
-    def _frame_round(self, s, params, bitfield, n, cam_spec):
+    def _frame_round(self, s, params, bitfield, n, cam_spec, bounds=None, t0_pre=None):
         """One streaming-renderer round: march a chunk, evaluate + composite,
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
@@ -820,7 +894,7 @@ class NerfEngine:
         )
         rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(
-            rgb, dens, ts, dts, valid_s, s["T"], self.min_transmittance
+            rgb, dens, ts, dts, valid_s, s["T"], s["minT"]
         )
         was_alive = self._frame_alive(s)
         counts = jnp.where(was_alive, counts, 0)
@@ -854,7 +928,7 @@ class NerfEngine:
         new_id = s["cursor"] + rank - 1
         take = done & (new_id < n)
         ids_n = jnp.where(take, new_id, s["ids"])
-        o_n, d_n2, dn_n, t0_n, t1_n = self._frame_make_rays(ids_n, n, cam_spec)
+        o_n, d_n2, dn_n, t0_n, t1_n = self._frame_make_rays(ids_n, n, cam_spec, bounds, t0_pre)
         sel = take[:, None]
         s2["ids"] = ids_n
         s2["o"] = jnp.where(sel, o_n, s["o"])
@@ -944,6 +1018,7 @@ class NerfEngine:
                 params, bf, rw, rh, self.xforms[vi],
                 tuple(np.asarray(self.focals[vi]) / downscale),
                 screen_center=tuple(np.asarray(self.principal_points[vi])),
+                min_transmittance=1e-4,  # eval protocol (scripts/run.py:230)
             )
             gt = np.asarray(self.images[vi])[::downscale, ::downscale]
             bg = np.asarray(spp_background, np.float32)

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 from sienerf_tpu.common import NerfActivation
 from sienerf_tpu.ops.encodings import sh_encode
-from sienerf_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid_params
+from sienerf_tpu.ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_encode_bf16,
+    init_hashgrid_params,
+)
 from sienerf_tpu.ops.mlp import MLPConfig, init_mlp_params, mlp_apply
 
 N_GEO_FEATURES = 16  # width of the density branch output (nerf_network.h:81-101)
@@ -89,9 +94,17 @@ def density_raw(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) 
     Reference NerfNetwork::density (nerf_network.h:270-354) — used by the
     occupancy-grid updater, which wants log-space density.
     """
-    feats = hashgrid_encode(config.grid, params["grid"], pos_unit)
+    feats = _encode_pos(config, params, pos_unit)
     out = mlp_apply(config.density_mlp, params["density_mlp"], feats)
     return out[..., 0]
+
+
+def _encode_pos(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) -> jnp.ndarray:
+    """Hash-encode positions; prefers a bf16-packed render table when the
+    params carry one (pack_table_bf16 — inference-only fast path)."""
+    if "grid_bf16" in params:
+        return hashgrid_encode_bf16(config.grid, params["grid_bf16"], pos_unit)
+    return hashgrid_encode(config.grid, params["grid"], pos_unit)
 
 
 def nerf_apply(
@@ -107,7 +120,7 @@ def nerf_apply(
     reference convention of applying network_to_rgb/density in the
     compositing kernels.
     """
-    feats = hashgrid_encode(config.grid, params["grid"], pos_unit)
+    feats = _encode_pos(config, params, pos_unit)
     geo = mlp_apply(config.density_mlp, params["density_mlp"], feats)
     sh = sh_encode(dir_unit_cube, config.sh_degree)
     parts = [sh]

@@ -387,3 +387,38 @@ def hashgrid_stats(config: HashGridConfig, table, n_bins: int = 32):
             )
         )
     return stats
+
+
+# --- render-path packed tables ------------------------------------------
+
+def pack_table_bf16(config: HashGridConfig, table: jnp.ndarray) -> jnp.ndarray:
+    """Pack the fp32 cell table into bf16 pairs bitcast as fp32 rows:
+    (L, T, C, F) -> (L, T, C*F//2) float32, each holding 2 bf16 features.
+
+    Render-only: 32-byte rows make each level's table 16.7MB (vs 33.5MB
+    unpadded fp32), which gathers at ~198M rows/s vs ~158M (measured,
+    tools/profile_eval.py) — raw bf16-typed gathers are SLOWER (~89M/s), so
+    the table is bitcast to fp32 for the gather and bitcast back after.
+    """
+    assert config.layout == "cell"
+    L, C, F = config.n_levels, 1 << config.n_dims, config.n_features_per_level
+    assert (C * F) % 2 == 0
+    t16 = table.reshape(L, config.table_size, C * F).astype(jnp.bfloat16)
+    return jax.lax.bitcast_convert_type(
+        t16.reshape(L, config.table_size, C * F // 2, 2), jnp.float32
+    )
+
+
+def hashgrid_encode_bf16(config: HashGridConfig, packed: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Forward-only encode from a pack_table_bf16 table (render path)."""
+    L, F = config.n_levels, config.n_features_per_level
+    C = 1 << config.n_dims
+    N = pos.shape[0]
+    idx, w, _, _, _ = _geometry_cell(config, pos)
+    outs = []
+    for l in range(L):
+        rows = jnp.take(packed[l], idx[:, l], axis=0)  # (N, C*F//2) f32
+        cf16 = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (N, C*F//2, 2)
+        cf = cf16.reshape(N, C, F).astype(jnp.float32)
+        outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))
+    return jnp.stack(outs, axis=1).reshape(N, L * F)

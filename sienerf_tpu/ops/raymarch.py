@@ -104,6 +104,37 @@ def march_rays(
     return ts, dts, k, t
 
 
+def advance_to_occupied(
+    config: MarchConfig,
+    bitfield: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_far: jnp.ndarray,
+    n_iters: int,
+) -> jnp.ndarray:
+    """Advance each ray's t through empty space to its first occupied voxel
+    (or t_far), without emitting samples — the reference's ray-init advance
+    (advance_pos_nerf_kernel / if_unoccupied_advance_to_next_occupied_voxel,
+    testbed_nerf.cu:364, nerf_device.cuh:461-494).  Run once per frame over
+    ALL pixels so the streaming renderer's eval rounds start on content
+    (measured: the first ~2 rounds per ray otherwise evaluate at fill~0)."""
+
+    def body(_, t):
+        pos = origins + t[:, None] * dirs
+        dt = calc_dt(t, config.cone_angle)
+        mip = jnp.maximum(
+            mip_from_pos(pos, config.n_cascades),
+            mip_from_dt(dt, config.n_cascades, config.grid_size),
+        )
+        occ = occupancy_lookup(bitfield, pos, mip)
+        active = (t < t_far) & ~occ
+        skip = _next_voxel_skip(t, pos, dirs, mip, dt, config.grid_size)
+        return jnp.where(active, t + skip, t)
+
+    return jax.lax.fori_loop(0, n_iters, body, t_start)
+
+
 def compact_samples(ts, dts, counts, M: int):
     """Compact a (N,K) marched-sample slab into a dense ray-major (M,)
     sample stream — the TPU equivalent of the reference's compacted training

@@ -144,3 +144,28 @@ def test_hash_level_spreads_indices():
     touched = int(jnp.sum(jnp.any(g[level] != 0, axis=-1)))
     # 512 points x 8 corners should touch a large fraction of a 1024-slot table
     assert touched > 600
+
+
+def test_bf16_packed_encode_matches():
+    """pack_table_bf16 + hashgrid_encode_bf16 match the fp32 encode to bf16
+    precision (render fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sienerf_tpu.ops.hashgrid import (
+        HashGridConfig,
+        hashgrid_encode,
+        hashgrid_encode_bf16,
+        init_hashgrid_params,
+        pack_table_bf16,
+    )
+
+    cfg = HashGridConfig(n_levels=6, log2_hashmap_size=10, base_resolution=4)
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg) * 1e4  # O(1) feats
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    ref = hashgrid_encode(cfg, table, pos)
+    packed = pack_table_bf16(cfg, table)
+    out = hashgrid_encode_bf16(cfg, packed, pos)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err <= 0.01 * max(scale, 1e-6), (err, scale)

@@ -43,6 +43,7 @@ def main():
         op=zero, bw=zero, bt=zero, valid=ids0 < n,
         chunks=jnp.zeros((A,), jnp.int32), used=jnp.zeros((A,), jnp.int32),
         cursor=jnp.asarray(A, jnp.int32),
+        minT=jnp.asarray(0.01, jnp.float32),
         out=jnp.zeros((n + 1, 5), jnp.float32),
     )
 
