@@ -319,7 +319,9 @@ class GeometryEngine:
         eng = obj.nerf
         from sienerf_tpu.ops.optim import inference_params
 
-        params = inference_params(obj.nerf_state["opt"], obj.nerf_state["params"])
+        params = eng._render_params(
+            inference_params(obj.nerf_state["opt"], obj.nerf_state["params"])
+        )
         bf = obj.nerf_state["occ"]["bitfield"]
         center = jnp.asarray(obj.center, jnp.float32)
         o_local = origins - center

@@ -704,7 +704,8 @@ class NerfEngine:
         def body(st):
             i, t, T, rgb_acc, op_acc, best_w, best_t, used = st
             ts, dts, counts, t_end = march_rays(
-                self.march, bitfield, origins, dirs_n, t, t1, self.render_chunk, self.render_chunk * 3
+                self.march, bitfield, origins, dirs_n, t, t1,
+                self.render_chunk, self.render_chunk * 3,
             )
             active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
@@ -774,20 +775,32 @@ class NerfEngine:
 
         bounds = occupied_bbox(bitfield)
 
-        # pre-advance every pixel's ray to its first occupied voxel in one
-        # big masked DDA (no samples, no eval) so streaming rounds start on
-        # content (advance_pos_nerf_kernel, testbed_nerf.cu:364)
-        t0_pre = None
+        # Build EVERY pixel's ray once (camera math + lens undistortion +
+        # slab tests), pre-advance to the first occupied voxel in one big
+        # masked DDA (advance_pos_nerf_kernel, testbed_nerf.cu:364), and
+        # cache the lot — slot refills inside the loop are then pure gathers.
+        ids_all = jnp.arange(n, dtype=jnp.int32)
+        o_a, d_a, dn_a, t0_a, t1_a = self._frame_make_rays(ids_all, n, cam_spec, bounds)
         if self.init_advance_iters > 0:
-            ids_all = jnp.arange(n, dtype=jnp.int32)
-            o_a, d_a, _, t0_a, t1_a = self._frame_make_rays(ids_all, n, cam_spec, bounds)
-            t_adv = advance_to_occupied(
+            t0_a = advance_to_occupied(
                 self.march, bitfield, o_a, d_a, t0_a, t1_a, self.init_advance_iters
             )
-            t0_pre = jnp.concatenate([t_adv, jnp.zeros((1,), jnp.float32)])
+
+        # pad row n = a benign dead ray (unit dir, t0 == t1 == 0): zero dirs
+        # would produce inf skips -> NaN positions in masked lanes
+        def pad1(x, row):
+            return jnp.concatenate([x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])])
+
+        rays_pre = (
+            pad1(o_a, [0.0, 0.0, 0.0]),
+            pad1(d_a, [0.0, 0.0, 1.0]),
+            pad1(dn_a, 1.0),
+            pad1(t0_a, 0.0),
+            pad1(t1_a, 0.0),
+        )
 
         ids0 = jnp.arange(A, dtype=jnp.int32)
-        o0, d0, dn0, t00, t10 = self._frame_make_rays(ids0, n, cam_spec, bounds, t0_pre)
+        o0, d0, dn0, t00, t10 = self._frame_take_rays(ids0, n, rays_pre)
         zero = jnp.zeros((A,), jnp.float32)
         state = dict(
             ids=ids0,
@@ -821,7 +834,7 @@ class NerfEngine:
             return jnp.any(self._frame_alive(s))
 
         def body(s):
-            return self._frame_round(s, params, bitfield, n, cam_spec, bounds, t0_pre)
+            return self._frame_round(s, params, bitfield, n, rays_pre)
 
         s = jax.lax.while_loop(cond, body, state)
         out = s["out"][:n]
@@ -832,7 +845,7 @@ class NerfEngine:
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
-    def _frame_make_rays(self, ids, n, cam_spec, bounds=None, t0_pre=None):
+    def _frame_make_rays(self, ids, n, cam_spec, bounds=None):
         width, height, focal_length, camera_matrix, screen_center = cam_spec
         ids_c = jnp.minimum(ids, n - 1)
         px = (ids_c % width).astype(jnp.float32)
@@ -855,8 +868,6 @@ class NerfEngine:
             btmin, btmax = ray_box_times(o, d_n, bounds[0], bounds[1])
             t0 = jnp.maximum(t0, btmin)
             t1 = jnp.maximum(jnp.minimum(t1, btmax), t0)
-        if t0_pre is not None:
-            t0 = jnp.minimum(jnp.take(t0_pre, ids_c), t1)
         return o, d_n, dn[:, 0], t0, t1
 
     def _render_params(self, params):
@@ -885,7 +896,14 @@ class NerfEngine:
             & (s["used"] < self._render_budget())
         )
 
-    def _frame_round(self, s, params, bitfield, n, cam_spec, bounds=None, t0_pre=None):
+    def _frame_take_rays(self, ids, n, rays_pre):
+        """Gather precomputed per-pixel rays (invalid ids hit the zero pad
+        row at n)."""
+        ids_c = jnp.minimum(ids, n)
+        o, d, dn, t0, t1 = (jnp.take(x, ids_c, axis=0) for x in rays_pre)
+        return o, d, dn, t0, t1
+
+    def _frame_round(self, s, params, bitfield, n, rays_pre):
         """One streaming-renderer round: march a chunk, evaluate + composite,
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
@@ -928,7 +946,7 @@ class NerfEngine:
         new_id = s["cursor"] + rank - 1
         take = done & (new_id < n)
         ids_n = jnp.where(take, new_id, s["ids"])
-        o_n, d_n2, dn_n, t0_n, t1_n = self._frame_make_rays(ids_n, n, cam_spec, bounds, t0_pre)
+        o_n, d_n2, dn_n, t0_n, t1_n = self._frame_take_rays(ids_n, n, rays_pre)
         sel = take[:, None]
         s2["ids"] = ids_n
         s2["o"] = jnp.where(sel, o_n, s["o"])
@@ -967,6 +985,7 @@ class NerfEngine:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        params = self._render_params(params)
         ndev = mesh.devices.size
         n = width * height
         chunk = ndev * tile

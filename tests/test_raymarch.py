@@ -192,3 +192,31 @@ def test_compact_samples_drops_overflow_rays():
     rid = np.asarray(ray_id)
     assert (rid[:16] < 2).all()
     assert (rid[16:] == N).all()  # sacrificial
+
+
+def test_vectorized_march_matches_scalar():
+    """Span-4 march places byte-identical samples to the scalar reference
+    loop (emit-or-skip, generate_next_nerf_network_inputs semantics)."""
+    from sienerf_tpu.ops.occupancy import OccupancyConfig, init_occupancy_state
+    from sienerf_tpu.ops.raymarch import MarchConfig, _march_rays_scalar, march_rays
+
+    rng = np.random.default_rng(0)
+    cfg = MarchConfig(n_cascades=1, cone_angle=0.0, grid_size=32)
+    # random blocky occupancy
+    occ = rng.random((1, 32, 32, 32)) < 0.35
+    bf = jnp.asarray(occ)
+    N, K = 64, 24
+    o = jnp.asarray(rng.uniform(0.1, 0.9, (N, 3)), jnp.float32)
+    d = rng.normal(size=(N, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t0 = jnp.zeros((N,), jnp.float32)
+    t1 = jnp.full((N,), 1.5, jnp.float32)
+
+    # generous budgets so neither variant exhausts iterations (t_end is
+    # only comparable when no budget binds)
+    ts_s, dts_s, k_s, te_s = _march_rays_scalar(cfg, bf, o, d, t0, t1, K, 1000)
+    ts_v, dts_v, k_v, te_v = march_rays(cfg, bf, o, d, t0, t1, K, 400, span=4)
+    np.testing.assert_array_equal(np.asarray(k_s), np.asarray(k_v))
+    np.testing.assert_allclose(np.asarray(ts_s), np.asarray(ts_v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dts_s), np.asarray(dts_v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(te_s), np.asarray(te_v), atol=1e-5)
