@@ -51,13 +51,13 @@ def main():
     cam = eng.xforms[0]
 
     # warmup/compile
-    rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 15)
+    rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 14)
     rgba.block_until_ready()
 
     n_frames = 3
     t0 = time.time()
     for _ in range(n_frames):
-        rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 15)
+        rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 14)
     rgba.block_until_ready()
     dt = (time.time() - t0) / n_frames
     rays_per_sec = W * H / dt

@@ -750,7 +750,7 @@ class NerfEngine:
         height: int,
         camera_matrix,
         focal_length,
-        tile: int = 1 << 15,
+        tile: int = 1 << 14,
         screen_center=(0.5, 0.5),
         background=(0.0, 0.0, 0.0),
         min_transmittance=None,
