@@ -59,7 +59,9 @@ def render_envmap(nerf_engine, state, origin, width: int = 64, height: int = 32,
     (testbed_nerf.cu:1559-1673): theta x phi grid from a point, rays march
     the scene volume.
     """
-    params = inference_params(state["opt"], state["params"])
+    params = nerf_engine._render_params(
+        inference_params(state["opt"], state["params"])
+    )
     bf = state["occ"]["bitfield"]
     dirs = _latlong_dirs(width, height)
     n = dirs.shape[0]

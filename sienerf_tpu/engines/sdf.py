@@ -20,6 +20,7 @@ normals" path).
 from __future__ import annotations
 
 import math
+import subprocess
 from dataclasses import dataclass, field, replace
 from functools import partial
 
@@ -62,6 +63,15 @@ class SdfEngine:
     bvh_dev: dict
     sdf_mode: MeshSdfMode = MeshSdfMode.WATERTIGHT
     tak_tables: dict | None = None  # Takikawa octree lookup tables (or None)
+    # Host-side GT (native C++ sdf_query over the BVH, multithreaded):
+    # sampling + signed-distance targets are computed on host threads and
+    # fed to a pure network-training jit.  The on-device BVH DFS needs
+    # thousands of latency-bound while_loop rounds per batch; a scanned
+    # training bundle exceeds the TPU worker watchdog (csrc/sdf_query.cpp).
+    # Falls back to the in-graph GT path when the native lib is missing.
+    host_gt: bool = True
+    bvh_host: object = None  # TriangleBVH (host arrays) for native queries
+    cdf_host: np.ndarray | None = None
     batch_size: int = 1 << 16
     surface_offset_std: float = 0.02  # near-surface perturbation scale
     trace_steps: int = 128
@@ -109,6 +119,8 @@ class SdfEngine:
             tri_cdf=jnp.asarray(cdf.astype(np.float32)),
             bvh_dev=bvh.as_device_arrays(),
             tak_tables=tak_tables,
+            bvh_host=bvh,
+            cdf_host=cdf.astype(np.float32),
             batch_size=batch_size,
         )
 
@@ -143,11 +155,68 @@ class SdfEngine:
         pos = jnp.concatenate([surf[:n_surf], pert, unif], axis=0)
         return jnp.clip(pos, 0.0, 1.0)
 
+    # --- host-side batch generation (native GT) ---------------------------
+
+    def _sample_batch_host(self, rng: np.random.Generator) -> np.ndarray:
+        """numpy mirror of _sample_batch: 4/8 surface, 3/8 perturbed, 1/8
+        uniform (generate_training_samples_sdf, testbed_sdf.cu:1193-1282)."""
+        n = self.batch_size
+        n_surf = n // 2
+        n_pert = (3 * n) // 8
+        n_unif = n - n_surf - n_pert
+        tris = self.bvh_host.triangles
+        u = rng.random(n_surf + n_pert).astype(np.float32)
+        tri_idx = np.clip(np.searchsorted(self.cdf_host, u), 0, len(tris) - 1)
+        bc = rng.random((n_surf + n_pert, 2)).astype(np.float32)
+        r1 = np.sqrt(bc[:, 0:1])
+        a = 1.0 - r1
+        b = bc[:, 1:2] * r1
+        t = tris[tri_idx]
+        surf = t[:, 0] + a * (t[:, 1] - t[:, 0]) + b * (t[:, 2] - t[:, 0])
+        pert = surf[n_surf:] + rng.normal(size=(n_pert, 3)).astype(np.float32) * self.surface_offset_std
+        unif = rng.random((n_unif, 3)).astype(np.float32)
+        pos = np.concatenate([surf[:n_surf], pert, unif], axis=0)
+        return np.clip(pos, 0.0, 1.0)
+
+    def _host_batches(self, key, n_steps: int):
+        from sienerf_tpu.geom.bvh_native import sdf_query
+
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        rng = np.random.default_rng(seed)
+        mode = 1 if self.sdf_mode != MeshSdfMode.WATERTIGHT else 0
+        pos = np.stack([self._sample_batch_host(rng) for _ in range(n_steps)])
+        tgt = np.stack([sdf_query(self.bvh_host, p, mode=mode) for p in pos])
+        return jnp.asarray(pos), jnp.asarray(tgt)
+
     # --- training ---------------------------------------------------------
 
     def train_bundle(self, state, key, n_steps: int = 16):
+        if self.host_gt:
+            try:
+                pos, tgt = self._host_batches(key, n_steps)
+                return self._train_bundle_host_jit(state, pos, tgt, self.tak_tables)
+            except (ImportError, OSError, FileNotFoundError, RuntimeError, subprocess.CalledProcessError):
+                pass  # native lib unavailable: in-graph GT fallback
         geom = {"bvh": self.bvh_dev, "triangles": self.triangles, "cdf": self.tri_cdf, "tak": self.tak_tables}
         return self._train_bundle_jit(state, key, geom, n_steps)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=1)
+    def _train_bundle_host_jit(self, state, pos_all, target_all, tak):
+        loss_fn = get_loss(self.loss_otype)
+
+        def one(st, batch):
+            pos, target = batch
+
+            def loss_of(p):
+                pred = apply_single_network(self.net, p, pos, tak)[:, 0]
+                return jnp.mean(loss_fn(pred, target))
+
+            loss, grads = jax.value_and_grad(loss_of)(st["params"])
+            params, opt = optim_step(self.opt, st["opt"], st["params"], grads, l2_mask(self.net, st["params"]))
+            return {"params": params, "opt": opt}, loss
+
+        state, losses = jax.lax.scan(one, state, (pos_all, target_all))
+        return state, jnp.mean(losses)
 
     @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
     def _train_bundle_jit(self, state, key, geom, n_steps: int = 16):
@@ -273,7 +342,12 @@ class SdfEngine:
             st, stid, _, _ = bvh_raytrace(geom["bvh"], spos, jnp.broadcast_to(sun, spos.shape))
             shadow = jnp.where(stid >= 0, 0.0, 1.0)
         else:
-            sdf_fn = self._sdf_fn(params, geom["tak"])
+            # sphere tracing is forward-only: use the bf16-packed table
+            # (analytic normals below keep the fp32 path — position
+            # gradients can't flow through the packed bitcast gather)
+            from sienerf_tpu.models.single_network import pack_render_params
+
+            sdf_fn = self._sdf_fn(pack_render_params(self.net, params), geom["tak"])
             pos, t, hit, n_steps, _ = self.sphere_trace(sdf_fn, o, d, t0, t1)
             normals = self._normals(params, pos, geom["tak"])
             spos = pos + normals * 1e-3
@@ -337,12 +411,23 @@ class SdfEngine:
         inter = 0
         union = 0
         chunk = n // n_chunks
+        mode = 1 if self.sdf_mode != MeshSdfMode.WATERTIGHT else 0
+        use_host = self.host_gt
         for ci in range(n_chunks):
             key, sub = jax.random.split(key)
             c = jnp.asarray(cells[ci * chunk : (ci + 1) * chunk], jnp.float32)
             u = jax.random.uniform(sub, c.shape)
             pos = (c + u) / resolution
-            gt = signed_distance(self.bvh_dev, pos, self.sdf_mode) < 0
+            if use_host:
+                try:
+                    from sienerf_tpu.geom.bvh_native import sdf_query
+
+                    gt = jnp.asarray(sdf_query(self.bvh_host, np.asarray(pos), mode=mode)) < 0
+                except (ImportError, OSError, FileNotFoundError, RuntimeError, subprocess.CalledProcessError):
+                    use_host = False
+                    gt = signed_distance(self.bvh_dev, pos, self.sdf_mode) < 0
+            else:
+                gt = signed_distance(self.bvh_dev, pos, self.sdf_mode) < 0
             pred = apply_single_network(self.net, params, pos, self.tak_tables)[:, 0] < 0
             inter += int(jnp.sum(gt & pred))
             union += int(jnp.sum(gt | pred))

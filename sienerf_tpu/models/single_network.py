@@ -100,6 +100,12 @@ def encode_input(config: SingleNetworkConfig, params: dict, x: jnp.ndarray, tabl
             raise ValueError("Takikawa encoding requires octree tables (pass tables=...)")
         return takikawa_encode(config.takikawa, tables, params["takikawa"], x)
     if config.grid is not None:
+        if "grid_bf16" in params:
+            # forward-only packed fast path (pack_render_params); no
+            # position/table gradients flow through the bitcast gather
+            from sienerf_tpu.ops.hashgrid import hashgrid_encode_bf16
+
+            return hashgrid_encode_bf16(config.grid, params["grid_bf16"], x)
         return hashgrid_encode(config.grid, params["grid"], x)
     if ot == "composite":
         return composite_encode(x, list(config.composite_specs))
@@ -120,6 +126,21 @@ def apply_single_network(
     """x: (N, n_input_dims) -> (N, n_output_dims) fp32."""
     feats = encode_input(config, params, x, tables)
     return mlp_apply(config.mlp, params["mlp"], feats)
+
+
+def pack_render_params(config: SingleNetworkConfig, params: dict) -> dict:
+    """Swap the fp32 hash table for the bf16-packed render layout (see
+    ops.hashgrid.pack_table_bf16).  Forward-only: use for sphere tracing /
+    shading evals, NOT for paths needing position gradients (analytic
+    normals) or training."""
+    if config.grid is None or config.grid.layout != "cell" or "grid" not in params:
+        return params
+    from sienerf_tpu.ops.hashgrid import pack_table_bf16
+
+    p = dict(params)
+    p["grid_bf16"] = pack_table_bf16(config.grid, params["grid"])
+    del p["grid"]
+    return p
 
 
 def l2_mask(config: SingleNetworkConfig, params: dict) -> dict:
