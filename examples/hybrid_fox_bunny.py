@@ -15,7 +15,8 @@ from sienerf_tpu.utils.config import load_network_config
 from sienerf_tpu.utils.camera import look_at_matrix
 
 ds = load_nerf_dataset("/root/reference/data/nerf/fox", downscale=4)
-cfg = load_network_config("/root/repo/configs/nerf/base.json")
+# must match the config the snapshot was trained with
+cfg = load_network_config("/root/reference/configs/nerf/base.json")
 eng = NerfEngine.create(cfg, ds, train_batch_size=1<<18)
 eng.near_distance = 0.2  # match snapshot
 state = jax.tree.map(jnp.asarray, load_snapshot(SNAPSHOT)["state"])

@@ -315,31 +315,44 @@ class GeometryEngine:
 
     def _blend_nerf_object(self, obj, origins, dirs, rgb_buf, depth_buf, alpha_buf):
         """March one NeRF object (rays shifted into its local frame) and
-        depth-tested alpha-blend the result over the buffers."""
-        eng = obj.nerf
-        from sienerf_tpu.ops.optim import inference_params
+        depth-tested alpha-blend the result over the buffers.
 
-        params = eng._render_params(
-            inference_params(obj.nerf_state["opt"], obj.nerf_state["params"])
+        The whole blend is one jit (cached per object): table packing and
+        the march must NOT run eagerly — eagerly-materialized tiny-minor-dim
+        intermediates tile-pad ~30x on TPU (OOM on real scenes)."""
+        eng = obj.nerf
+        if getattr(obj, "_blend_jit", None) is None:
+            from sienerf_tpu.ops.optim import inference_params
+
+            @jax.jit
+            def blend(nerf_state, center, origins, dirs, rgb_buf, depth_buf, alpha_buf):
+                # fp32 table: the bf16 pack OOMs via tile-padding in graphs
+                # where XLA doesn't fuse it into the gathers (see
+                # ops/hashgrid.py::pack_table_bf16)
+                params = inference_params(nerf_state["opt"], nerf_state["params"])
+                bf = nerf_state["occ"]["bitfield"]
+                o_local = origins - center
+                # clamp the NeRF march at the mesh surface: fragments behind
+                # the mesh are never generated (strictly better than the
+                # reference's post-hoc per-fragment depth test, same visible
+                # result)
+                nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
+                    params, bf, o_local, dirs, t_cap=depth_buf
+                )
+                in_front = (nerf_op > 0.0) & (nerf_depth < depth_buf)
+                a = jnp.where(in_front, nerf_op, 0.0)
+                # NeRF fragment over the existing frame: fb = nerf + fb*(1-a)
+                rgb = jnp.where(in_front[:, None], nerf_rgb + rgb_buf * (1.0 - a[:, None]), rgb_buf)
+                alpha = jnp.where(in_front, a + alpha_buf * (1.0 - a), alpha_buf)
+                # reference: overwrite depth when the fragment is solid (alpha>0.2)
+                depth = jnp.where(in_front & (a > 0.2), nerf_depth, depth_buf)
+                return rgb, depth, alpha
+
+            obj._blend_jit = blend
+        return obj._blend_jit(
+            obj.nerf_state, jnp.asarray(obj.center, jnp.float32),
+            origins, dirs, rgb_buf, depth_buf, alpha_buf,
         )
-        bf = obj.nerf_state["occ"]["bitfield"]
-        center = jnp.asarray(obj.center, jnp.float32)
-        o_local = origins - center
-        # clamp the NeRF march at the mesh surface: fragments behind the mesh
-        # are never generated (strictly better than the reference's post-hoc
-        # per-fragment depth test, same visible result)
-        nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
-            params, bf, o_local, dirs, t_cap=depth_buf
-        )
-        nerf_depth_world = nerf_depth
-        in_front = (nerf_op > 0.0) & (nerf_depth_world < depth_buf)
-        a = jnp.where(in_front, nerf_op, 0.0)
-        # NeRF fragment composited over the existing frame: fb = nerf + fb*(1-a)
-        rgb = jnp.where(in_front[:, None], nerf_rgb + rgb_buf * (1.0 - a[:, None]), rgb_buf)
-        alpha = jnp.where(in_front, a + alpha_buf * (1.0 - a), alpha_buf)
-        # reference: overwrite depth when the fragment is solid (alpha>0.2)
-        depth = jnp.where(in_front & (a > 0.2), nerf_depth_world, depth_buf)
-        return rgb, depth, alpha
 
 
 def _resolve_path(p: str, roots) -> Path:

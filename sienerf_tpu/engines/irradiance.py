@@ -59,18 +59,24 @@ def render_envmap(nerf_engine, state, origin, width: int = 64, height: int = 32,
     (testbed_nerf.cu:1559-1673): theta x phi grid from a point, rays march
     the scene volume.
     """
-    params = nerf_engine._render_params(
-        inference_params(state["opt"], state["params"])
-    )
+    params = inference_params(state["opt"], state["params"])
     bf = state["occ"]["bitfield"]
     dirs = _latlong_dirs(width, height)
     n = dirs.shape[0]
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (n, 3))
+
+    # One jitted probe-march (eager op-by-op marching would dispatch per
+    # while-round).  fp32 table: conservative — bf16 packing is only
+    # proven to compile well inside the render_frame graph.
+    @jax.jit
+    def probe(params, bf, o, d):
+        return nerf_engine.render_rays(params, bf, o, d, near=0.0)
+
     rgbs, ops = [], []
     for i in range(0, n, chunk):
         o = origin[i : i + chunk]
         d = dirs[i : i + chunk]
-        rgb, op, _ = nerf_engine.render_rays(params, bf, o, d, near=0.0)
+        rgb, op, _ = probe(params, bf, o, d)
         rgbs.append(rgb)
         ops.append(op)
     rgb = jnp.concatenate(rgbs)

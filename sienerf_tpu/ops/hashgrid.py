@@ -299,13 +299,18 @@ def _encode_fwd_impl(config: HashGridConfig, table, pos):
         # bytes, not row count, dominate once the level exceeds ~16MB.  The
         # 128B padding stays only where it is load-bearing: the backward
         # scatter layout (_encode_bwd_impl).
-        tp = table.reshape(L, config.table_size, C * F)
-        # per-level gathers: staging each level's table separately is ~4x
-        # faster than one merged gather from the full multi-level table
-        # (measured 6.1ms vs 23.6ms for 2.1M rows)
+        #
+        # Slice each LEVEL first, reshape per level: reshaping the whole
+        # (L,T,C*F) table in one op lets XLA materialize it with minor-dim
+        # tile padding (16 -> 128 lanes = 8x -> 17GB OOM in graphs where the
+        # reshape isn't fused, e.g. the irradiance probe).  Per-level
+        # worst-case materialization is ~268MB with temp reuse.
+        # Per-level gathers are also ~4x faster than one merged gather from
+        # the full multi-level table (measured 6.1ms vs 23.6ms, 2.1M rows).
         outs = []
         for l in range(L):
-            rows = jnp.take(tp[l], idx[:, l], axis=0)  # (N, C*F)
+            tp_l = table[l].reshape(config.table_size, C * F)
+            rows = jnp.take(tp_l, idx[:, l], axis=0)  # (N, C*F)
             cf = rows.reshape(N, C, F)
             outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))  # (N,F)
         out = jnp.stack(outs, axis=1)  # (N,L,F)
@@ -403,6 +408,9 @@ def pack_table_bf16(config: HashGridConfig, table: jnp.ndarray) -> jnp.ndarray:
     assert config.layout == "cell"
     L, C, F = config.n_levels, 1 << config.n_dims, config.n_features_per_level
     assert (C * F) % 2 == 0
+    # NOTE: only use inside a jit that consumes the result (render_frame /
+    # render_frame_multichip are proven).  Eager packing materializes
+    # tile-padded intermediates (30-60x inflation -> OOM).
     t16 = table.reshape(L, config.table_size, C * F).astype(jnp.bfloat16)
     return jax.lax.bitcast_convert_type(
         t16.reshape(L, config.table_size, C * F // 2, 2), jnp.float32
