@@ -83,19 +83,29 @@ def parse_images_txt(path: Path) -> list[dict]:
 
 
 def closest_point_2_lines(oa, da, ob, db):
-    """Point closest to both rays (reference colmap2nerf.py helper)."""
+    """Midpoint of the common perpendicular of two rays, plus a weight.
+
+    Least-squares formulation: minimize |(oa + ta*da) - (ob + tb*db)|^2 over
+    (ta, tb).  The normal equations give
+        ta = (dot(t, da) - g * dot(t, db)) / (1 - g^2)
+        tb = (g * dot(t, da) - dot(t, db)) / (1 - g^2)
+    with t = ob - oa and g = dot(da, db); 1 - g^2 = sin^2(angle) doubles as
+    the conditioning weight returned to the caller (near-parallel ray pairs
+    contribute almost nothing to the scene-center estimate).  Camera rays
+    point *at* the scene, so positive parameters (closest approach behind
+    the cameras) are clamped to the origins — same convention as the
+    reference helper (scripts/colmap2nerf.py closest_point_2_lines), which
+    this replaces with an independent derivation.
+    """
     da = da / np.linalg.norm(da)
     db = db / np.linalg.norm(db)
-    c = np.cross(da, db)
-    denom = np.linalg.norm(c) ** 2
+    g = float(np.dot(da, db))
+    w = max(1.0 - g * g, 0.0)  # = |da x db|^2
     t = ob - oa
-    ta = np.linalg.det([t, db, c]) / (denom + 1e-10)
-    tb = np.linalg.det([t, da, c]) / (denom + 1e-10)
-    if ta > 0:
-        ta = 0
-    if tb > 0:
-        tb = 0
-    return (oa + ta * da + ob + tb * db) * 0.5, denom
+    inv = 1.0 / (w + 1e-10)
+    ta = min((np.dot(t, da) - g * np.dot(t, db)) * inv, 0.0)
+    tb = min((g * np.dot(t, da) - np.dot(t, db)) * inv, 0.0)
+    return 0.5 * ((oa + ta * da) + (ob + tb * db)), w
 
 
 def colmap_to_transforms(

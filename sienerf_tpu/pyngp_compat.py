@@ -40,10 +40,10 @@ class Testbed:
     load_file = load_training_data
 
     def reload_network_from_file(self, path: str = ""):
-        # network configs resolve at load time; re-initialise with a new one
-        if self.session.engine is None:
-            raise RuntimeError("load_training_data first")
-        raise NotImplementedError("pass `network=` to load_training_data instead")
+        """Reset the network (and training state) from a config file, keeping
+        the loaded scene (python_api.cu reload_network_from_file binding)."""
+        self.session.reload_network_from_file(path or None)
+        self.mode = self.session.mode
 
     # -- train loop ------------------------------------------------------------
     def frame(self) -> bool:

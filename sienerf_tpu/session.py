@@ -25,11 +25,15 @@ def mode_from_scene(path: str | Path) -> TestbedMode:
     """Scene-type sniffing (reference common_host.cu:146-166)."""
     p = Path(path)
     name = str(p).lower()
-    if p.is_dir() or name.endswith("transforms.json") or (p.is_dir() and (p / "transforms.json").exists()):
-        if p.is_dir() and not any(p.glob("transforms*.json")):
-            pass
-        else:
+    if p.is_dir():
+        if any(p.glob("transforms*.json")):
             return TestbedMode.NERF
+        raise ValueError(
+            f"scene directory {path} has no transforms*.json (NeRF scenes are "
+            "directories containing a transforms.json; other modes are files)"
+        )
+    if name.endswith("transforms.json"):
+        return TestbedMode.NERF
     if "geometry" in Path(name).name and name.endswith(".json"):
         return TestbedMode.GEOMETRY
     ext = p.suffix.lower()
@@ -83,7 +87,12 @@ class Session:
     # --- loading ------------------------------------------------------------
 
     def load_file(self, scene: str | Path, network: str | None = None, **engine_kwargs):
+        self._scene = scene
+        self._engine_kwargs = dict(engine_kwargs)
         self.mode = mode_from_scene(scene)
+        self.training_step = 0
+        self.loss = float("nan")
+        self.loss_graph = []
         cfg_path = Path(network) if network else find_network_config(self.configs_dir, self.mode.value)
         self.network_config = load_network_config(cfg_path)
         log.info(f"mode={self.mode.value}, network config={cfg_path}")
@@ -134,6 +143,20 @@ class Session:
         else:
             raise ValueError(self.mode)
         return self
+
+    def reload_network_from_file(self, network: str | Path | None = None):
+        """Re-read the network config and reset engine + training state,
+        keeping the loaded scene (reference Testbed::reload_network_from_file,
+        testbed.cu:3860-3928 / python_api.cu binding) — pass a path to switch
+        configs, or nothing to re-resolve the default for the current mode."""
+        scene = getattr(self, "_scene", None)
+        if scene is None:
+            raise RuntimeError("load_file first")
+        return self.load_file(
+            scene,
+            network=str(network) if network else None,
+            **getattr(self, "_engine_kwargs", {}),
+        )
 
     # --- training -----------------------------------------------------------
 
