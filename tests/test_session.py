@@ -270,6 +270,6 @@ def test_reload_network_from_file(tmp_path):
     assert step_before > 0
     tb.reload_network_from_file(cfg(32))  # switch configs, state resets
     assert tb.session.training_step == 0
-    assert tb.session.state["params"]["layers"][0].shape[-1] == 32
+    assert tb.session.state["params"]["mlp"][0].shape[-1] == 32
     tb.frame()
     assert np.isfinite(tb.loss)
