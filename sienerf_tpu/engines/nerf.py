@@ -95,10 +95,18 @@ class NerfEngine:
     render_chunk: int = 16  # samples between "compactions" (reference uses 8;
     # larger chunks amortize per-round costs on TPU, lanes stay dense anyway)
     render_max_chunks: int = 96
-    # bf16-packed hash table for the (forward-only) render path: 32-byte
-    # rows cut the 720p fox frame from 10.7s to 7.2s on v5e (measured);
-    # PSNR delta is within bf16 feature precision (tests/test_hashgrid.py)
-    render_bf16_table: bool = True
+    # Packed hash table for the (forward-only) render path: "bf16" halves
+    # row bytes vs fp32 (measured 10.7s -> 7.2s on the 720p fox frame);
+    # "fp8" (e4m3 + per-level scale) halves them again, which matters for
+    # wide-row configs (8 levels x 4 features: 64B bf16 rows = 33.5MB/level,
+    # past the ~16MB HBM gather knee) — PSNR cost measured in
+    # tools/sweep_render.py.  "none" renders from the fp32 training table.
+    render_table_pack: str = "bf16"
+    # march-loop iteration budget per render round, as a multiple of
+    # render_chunk (the loop is latency-bound: ~0.3ms/iteration on v5e
+    # regardless of tile width, so fewer iterations = faster rounds at the
+    # cost of occasional underfilled chunks)
+    render_march_iters_mult: float = 3.0
     # interactive render early-out (reference render_min_transmittance,
     # nerf.h:172 default 0.01); the eval protocol overrides to 1e-4
     # (scripts/run.py:230) via the render calls' min_transmittance arg
@@ -705,7 +713,7 @@ class NerfEngine:
             i, t, T, rgb_acc, op_acc, best_w, best_t, used = st
             ts, dts, counts, t_end = march_rays(
                 self.march, bitfield, origins, dirs_n, t, t1,
-                self.render_chunk, self.render_chunk * 3,
+                self.render_chunk, self._march_iters(),
             )
             active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
@@ -871,15 +879,26 @@ class NerfEngine:
         return o, d_n, dn[:, 0], t0, t1
 
     def _render_params(self, params):
-        """Swap in the bf16-packed hash table for forward-only rendering."""
-        if self.render_bf16_table and self.net.grid.layout == "cell":
-            from sienerf_tpu.ops.hashgrid import pack_table_bf16
-
+        """Swap in a packed hash table for forward-only rendering."""
+        pack = self.render_table_pack
+        if pack in ("bf16", "fp8") and self.net.grid.layout == "cell":
             p = dict(params)
-            p["grid_bf16"] = pack_table_bf16(self.net.grid, params["grid"])
+            if pack == "fp8":
+                from sienerf_tpu.ops.hashgrid import pack_table_fp8
+
+                p["grid_fp8"], p["grid_fp8_scale"] = pack_table_fp8(
+                    self.net.grid, params["grid"]
+                )
+            else:
+                from sienerf_tpu.ops.hashgrid import pack_table_bf16
+
+                p["grid_bf16"] = pack_table_bf16(self.net.grid, params["grid"])
             del p["grid"]
             return p
         return params
+
+    def _march_iters(self) -> int:
+        return max(int(self.render_chunk * self.render_march_iters_mult), self.render_chunk)
 
     def _render_budget(self) -> int:
         """Per-ray render sample budget = the training march budget (see
@@ -908,7 +927,7 @@ class NerfEngine:
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
             self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
-            self.render_chunk, self.render_chunk * 3,
+            self.render_chunk, self._march_iters(),
         )
         rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(

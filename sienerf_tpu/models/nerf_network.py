@@ -100,8 +100,14 @@ def density_raw(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) 
 
 
 def _encode_pos(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) -> jnp.ndarray:
-    """Hash-encode positions; prefers a bf16-packed render table when the
-    params carry one (pack_table_bf16 — inference-only fast path)."""
+    """Hash-encode positions; prefers a packed render table when the params
+    carry one (pack_table_bf16 / pack_table_fp8 — inference-only fast paths)."""
+    if "grid_fp8" in params:
+        from sienerf_tpu.ops.hashgrid import hashgrid_encode_fp8
+
+        return hashgrid_encode_fp8(
+            config.grid, params["grid_fp8"], params["grid_fp8_scale"], pos_unit
+        )
     if "grid_bf16" in params:
         return hashgrid_encode_bf16(config.grid, params["grid_bf16"], pos_unit)
     return hashgrid_encode(config.grid, params["grid"], pos_unit)

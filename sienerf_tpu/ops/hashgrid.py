@@ -430,3 +430,42 @@ def hashgrid_encode_bf16(config: HashGridConfig, packed: jnp.ndarray, pos: jnp.n
         cf = cf16.reshape(N, C, F).astype(jnp.float32)
         outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))
     return jnp.stack(outs, axis=1).reshape(N, L * F)
+
+
+def pack_table_fp8(config: HashGridConfig, table: jnp.ndarray):
+    """Pack the fp32 cell table into per-level-scaled e4m3 quads bitcast as
+    fp32 rows: (L, T, C, F) -> ((L, T, C*F//4) float32, (L,) scales).
+
+    Render-only quantization: for the 8-level x 4-feature reference config
+    the bf16 rows are 64B -> 33.5MB/level, past the ~16MB HBM-gather knee
+    (NOTES_ROUND1: 16MB tables gather ~2x faster than 33-67MB).  e4m3 halves
+    the row to 32B -> 16.7MB/level.  Per-level absmax scaling keeps the
+    ~6% e4m3 relative precision centered on the trained feature range;
+    PSNR cost is measured (tools/sweep_render.py), not assumed.
+    """
+    assert config.layout == "cell"
+    L, C, F = config.n_levels, 1 << config.n_dims, config.n_features_per_level
+    assert (C * F) % 4 == 0
+    t = table.reshape(L, config.table_size, C * F)
+    scale = jnp.maximum(jnp.max(jnp.abs(t), axis=(1, 2)), 1e-8) / 448.0  # (L,)
+    t8 = (t / scale[:, None, None]).astype(jnp.float8_e4m3fn)
+    packed = jax.lax.bitcast_convert_type(
+        t8.reshape(L, config.table_size, C * F // 4, 4), jnp.float32
+    )
+    return packed, scale
+
+
+def hashgrid_encode_fp8(config: HashGridConfig, packed: jnp.ndarray, scale: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Forward-only encode from a pack_table_fp8 table (render path)."""
+    L, F = config.n_levels, config.n_features_per_level
+    C = 1 << config.n_dims
+    N = pos.shape[0]
+    idx, w, _, _, _ = _geometry_cell(config, pos)
+    scale_np = scale  # (L,) traced; broadcast per level below
+    outs = []
+    for l in range(L):
+        rows = jnp.take(packed[l], idx[:, l], axis=0)  # (N, C*F//4) f32
+        cf8 = jax.lax.bitcast_convert_type(rows, jnp.float8_e4m3fn)  # (N, C*F//4, 4)
+        cf = cf8.reshape(N, C, F).astype(jnp.float32) * scale_np[l]
+        outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))
+    return jnp.stack(outs, axis=1).reshape(N, L * F)
