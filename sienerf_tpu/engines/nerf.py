@@ -138,6 +138,14 @@ class NerfEngine:
     # nerf.h:124; loss term testbed_nerf.cu:1065-1067) — active when the
     # dataset ships depth images
     depth_supervision_lambda: float = 0.0
+    # trainable lat-long envmap background (envmap.cuh; testbed.cu:4194-4209
+    # builds it when the dataset ships an envmap; training composites the
+    # random bg BEHIND it, testbed_nerf.cu:1007-1015); auto-enabled by
+    # create() when the dataset carries one, or set train_envmap=True with
+    # envmap_resolution for a black-initialized map
+    train_envmap: bool = False
+    envmap_resolution: tuple = (128, 256)  # (H, W)
+    envmap_init: np.ndarray | None = None  # (H, W, 4) initial values
     # rolling shutter / motion blur: per-pixel camera slerp between start and
     # end xforms (common_device.cuh:656-659); vec4 (t0, du, dv, motionblur)
     rolling_shutter: np.ndarray | None = None
@@ -195,6 +203,10 @@ class NerfEngine:
         )
         if dataset.xforms_end is not None:
             eng.rolling_shutter = np.asarray(dataset.rolling_shutter, np.float32)
+        if dataset.envmap is not None:
+            eng.train_envmap = True
+            eng.envmap_init = np.asarray(dataset.envmap, np.float32)
+            eng.envmap_resolution = dataset.envmap.shape[:2]
         eng.visible_mask = np.asarray(
             mark_untrained_cells(
                 occ,
@@ -289,6 +301,16 @@ class NerfEngine:
         if self.optimize_distortion:
             r = self.distortion_resolution
             params["distortion"] = jnp.zeros((r, r, 2), jnp.float32)
+        if self.train_envmap:
+            if self.envmap_init is not None:
+                params["envmap"] = jnp.asarray(self.envmap_init, jnp.float32)
+            else:
+                # black init with OPAQUE alpha: alpha is not trainable
+                # (reference dL_denvmap[3]=0), and a=0 would leak the
+                # per-step random training background permanently
+                params["envmap"] = jnp.zeros(
+                    tuple(self.envmap_resolution) + (4,), jnp.float32
+                ).at[..., 3].set(1.0)
         state = {
             "params": params,
             "opt": optim_init(params, self.opt),
@@ -450,12 +472,27 @@ class NerfEngine:
             cum = jnp.cumprod(1.0 - alpha, axis=1)
             T_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
             depth_pred = jnp.sum(alpha * T_excl * ts, axis=1)
+        if "envmap" in params:
+            # composite the (random) background BEHIND the trainable envmap
+            # (testbed_nerf.cu:1007-1015); gradients reach the envmap texels
+            # through the T_out * bg term and the GT composite below —
+            # autodiff of the bilinear read IS the reference's 4-texel
+            # gradient splat (envmap.cuh deposit_envmap_gradient)
+            from sienerf_tpu.ops.envmap import background_behind_envmap
+
+            bg = background_behind_envmap(params["envmap"], dirs_n, bg)
         pred = rgb_sum + T_out[:, None] * bg
         if "exposure" in params:
             # per-image exposure compensation applied to the prediction
             img_idx = ray_meta[0]
             pred = pred * jnp.exp(params["exposure"][img_idx])
-        gt = target[:, :3] * target[:, 3:4] + bg * (1.0 - target[:, 3:4])
+        # GT composited over the same background; the reference's envmap
+        # gradient is prediction-side only (dloss_by_dbackground = T *
+        # loss_gradient, testbed_nerf.cu:1194), so the GT-side dependence is
+        # cut here
+        gt = target[:, :3] * target[:, 3:4] + jax.lax.stop_gradient(bg) * (
+            1.0 - target[:, 3:4]
+        )
         loss_fn = get_loss(self.loss_otype)
         per_elem = loss_fn(pred, gt)
         per_ray = jnp.mean(per_elem, axis=-1)
@@ -849,7 +886,17 @@ class NerfEngine:
         rgb = out[:, :3]
         opacity = out[:, 3]
         depth = out[:, 4]
-        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        if "envmap" in params:
+            # envmap background fill (reference initializes the frame buffer
+            # to read_envmap(ray.d), testbed_nerf.cu:1526-1527); the solid
+            # background color shows through the envmap's transparency
+            from sienerf_tpu.ops.envmap import read_envmap
+
+            ev = read_envmap(params["envmap"], d_a)
+            bg = ev[:, :3] + bg[None, :] * (1.0 - ev[:, 3:4])
+            rgb = rgb + (1.0 - opacity)[:, None] * bg
+        else:
+            rgb = rgb + (1.0 - opacity)[:, None] * bg
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 

@@ -89,6 +89,10 @@ class NerfDataset:
     rolling_shutter: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
     xforms_end: np.ndarray | None = None  # (N, 3, 4); None => static (== xforms)
     has_masks: bool = False  # any dynamic_mask_* pixels (marked rgb=-1)
+    # lat-long environment map: initial values for the trainable background
+    # (nerf_loader.h:67-74 envmap_data/envmap_resolution; transforms.json
+    # key "envmap" = image path)
+    envmap: np.ndarray | None = None  # (He, We, 4) float32 linear
 
     @property
     def n_images(self) -> int:
@@ -270,6 +274,17 @@ def load_nerf_dataset(
         v = list(map(float, meta["rolling_shutter"]))
         rs[: min(len(v), 4)] = v[:4]
 
+    envmap = None
+    if "envmap" in meta:
+        # initial values for the trainable envmap background
+        # (nerf_loader.cu:531-543)
+        ep = _resolve_image_path(base, str(meta["envmap"]))
+        if ep is not None:
+            envmap = np.asarray(
+                load_image(ep, as_float_linear=(ep.suffix.lower() == ".exr")),
+                np.float32,
+            )
+
     return NerfDataset(
         images=images,
         xforms=xforms,
@@ -288,4 +303,5 @@ def load_nerf_dataset(
         rolling_shutter=rs,
         xforms_end=xforms_end if (any_end or rs.any()) else None,
         has_masks=has_masks,
+        envmap=envmap,
     )

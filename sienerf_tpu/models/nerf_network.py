@@ -82,7 +82,7 @@ def nerf_l2_mask(params: dict) -> dict:
         "density_mlp": [1.0 for _ in params["density_mlp"]],
         "rgb_mlp": [1.0 for _ in params["rgb_mlp"]],
     }
-    for extra in ("cam", "focal", "exposure", "distortion"):
+    for extra in ("cam", "focal", "exposure", "distortion", "envmap"):
         if extra in params:
             mask[extra] = 0.0
     return mask
