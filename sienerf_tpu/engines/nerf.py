@@ -699,7 +699,7 @@ class NerfEngine:
 
     def render_rays(
         self, params, bitfield, origins, dirs, near=None, t_cap=None,
-        min_transmittance=None,
+        min_transmittance=None, fine_bitfield=None,
     ):
         """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
 
@@ -750,7 +750,7 @@ class NerfEngine:
             i, t, T, rgb_acc, op_acc, best_w, best_t, used = st
             ts, dts, counts, t_end = march_rays(
                 self.march, bitfield, origins, dirs_n, t, t1,
-                self.render_chunk, self._march_iters(),
+                self.render_chunk, self._march_iters(), fine=fine_bitfield,
             )
             active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
@@ -799,6 +799,7 @@ class NerfEngine:
         screen_center=(0.5, 0.5),
         background=(0.0, 0.0, 0.0),
         min_transmittance=None,
+        fine_bitfield=None,
     ):
         """Render a full frame with a streaming persistent ray buffer.
 
@@ -879,7 +880,7 @@ class NerfEngine:
             return jnp.any(self._frame_alive(s))
 
         def body(s):
-            return self._frame_round(s, params, bitfield, n, rays_pre)
+            return self._frame_round(s, params, bitfield, n, rays_pre, fine_bitfield)
 
         s = jax.lax.while_loop(cond, body, state)
         out = s["out"][:n]
@@ -947,6 +948,22 @@ class NerfEngine:
     def _march_iters(self) -> int:
         return max(int(self.render_chunk * self.render_march_iters_mult), self.render_chunk)
 
+    def bake_render_grid(self, params, occ_state, factor: int = 4):
+        """Bake a factor-x fine occupancy bitfield from the current network
+        (ops/occupancy.bake_fine_bitfield) for use as render_frame's
+        `fine_bitfield`.  One-time cost per trained state (seconds); frames
+        then skip the near-zero-density samples the 128^3 training grid
+        cannot distinguish.  Returns a device array."""
+        from sienerf_tpu.ops.occupancy import bake_fine_bitfield
+
+        fine = bake_fine_bitfield(
+            self._density_fn(params),
+            occ_state["bitfield"],
+            float(occ_state["mean_density"]),
+            factor=factor,
+        )
+        return jnp.asarray(fine)
+
     def _render_budget(self) -> int:
         """Per-ray render sample budget = the training march budget (see
         render_rays): full cap under compact training, train_k legacy."""
@@ -969,12 +986,12 @@ class NerfEngine:
         o, d, dn, t0, t1 = (jnp.take(x, ids_c, axis=0) for x in rays_pre)
         return o, d, dn, t0, t1
 
-    def _frame_round(self, s, params, bitfield, n, rays_pre):
+    def _frame_round(self, s, params, bitfield, n, rays_pre, fine_bitfield=None):
         """One streaming-renderer round: march a chunk, evaluate + composite,
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
             self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
-            self.render_chunk, self._march_iters(),
+            self.render_chunk, self._march_iters(), fine=fine_bitfield,
         )
         rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(

@@ -301,3 +301,70 @@ def ray_box_times(o: jnp.ndarray, d: jnp.ndarray, lo, hi) -> tuple:
     tmin = jnp.max(jnp.minimum(ta, tb), axis=-1)
     tmax = jnp.min(jnp.maximum(ta, tb), axis=-1)
     return tmin, tmax
+
+
+def bake_fine_bitfield(
+    density_fn,
+    coarse_bitfield,
+    mean_density: float,
+    factor: int = 4,
+    dilate: bool = True,
+    chunk: int = 1 << 20,
+):
+    """Bake a render-time occupancy bitfield at `factor`x the training grid
+    resolution by evaluating the CURRENT network density at the fine-voxel
+    centers of every occupied coarse cell.
+
+    Rationale (round-2 perf work): the reference's 128^3 training grid
+    (testbed_nerf.cu update_density_grid) is conservative — on fox at 768
+    steps most marched samples carry near-zero density, and every sample
+    costs a full hash-encode + MLP.  A finer RENDER-ONLY grid culls those
+    samples before they reach the field eval; the training grid and its EMA
+    machinery stay untouched (the fine grid is a pure bake of the trained
+    density, refreshed whenever the caller re-bakes).  Same threshold as
+    density_to_bitfield: min(mean_density, NERF_MIN_OPTICAL_THICKNESS);
+    `dilate` max-pools 3^3 fine voxels for conservativeness against
+    sub-voxel density features.
+
+    Returns a (C, G*factor, G*factor, G*factor) bool array (host numpy —
+    callers move it to device once; ~400MB at 512^3 x 3 cascades).
+    """
+    import numpy as np
+
+    coarse = np.asarray(coarse_bitfield)
+    C, G = coarse.shape[0], coarse.shape[1]
+    Gf = G * factor
+    thresh = float(min(float(mean_density), NERF_MIN_OPTICAL_THICKNESS))
+    f3 = factor**3
+    offs = np.stack(
+        np.meshgrid(*([np.arange(factor)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (f^3, 3)
+
+    fine = np.zeros((C, Gf, Gf, Gf), bool)
+    eval_jit = jax.jit(lambda x: density_fn(x))
+    for c in range(C):
+        idx = np.argwhere(coarse[c])  # (M, 3) coarse cells
+        if len(idx) == 0:
+            continue
+        fine_idx = (idx[:, None, :] * factor + offs[None, :, :]).reshape(-1, 3)
+        scale = 2.0**c
+        centers = ((fine_idx.astype(np.float32) + 0.5) / Gf - 0.5) * scale + 0.5
+        occ = np.empty(len(centers), bool)
+        for s in range(0, len(centers), chunk):
+            d = eval_jit(jnp.asarray(centers[s : s + chunk]))
+            occ[s : s + chunk] = np.asarray(d) > thresh
+        fine[c, fine_idx[:, 0], fine_idx[:, 1], fine_idx[:, 2]] = occ
+
+    if dilate:
+        # separable 3^3 max-pool per cascade (np.roll wraparound only ever
+        # ADDS voxels, and the &-mask below restricts to baked space),
+        # restricted back to occupied coarse cells
+        for c in range(C):
+            f = fine[c]
+            for ax in range(3):
+                f = f | np.roll(f, 1, axis=ax) | np.roll(f, -1, axis=ax)
+            up = np.repeat(
+                np.repeat(np.repeat(coarse[c], factor, 0), factor, 1), factor, 2
+            )
+            fine[c] = f & up
+    return fine
