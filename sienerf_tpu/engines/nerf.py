@@ -800,6 +800,7 @@ class NerfEngine:
         background=(0.0, 0.0, 0.0),
         min_transmittance=None,
         fine_bitfield=None,
+        pixel_offset=None,
     ):
         """Render a full frame with a streaming persistent ray buffer.
 
@@ -815,7 +816,9 @@ class NerfEngine:
         n = width * height
         A = min(tile, max(256, n))
         bg = jnp.asarray(background, jnp.float32)
-        cam_spec = (width, height, focal_length, camera_matrix, screen_center)
+        if pixel_offset is None:
+            pixel_offset = jnp.asarray([0.5, 0.5], jnp.float32)
+        cam_spec = (width, height, focal_length, camera_matrix, screen_center, pixel_offset)
         params = self._render_params(params)
         from sienerf_tpu.ops.occupancy import occupied_bbox
 
@@ -902,11 +905,17 @@ class NerfEngine:
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
     def _frame_make_rays(self, ids, n, cam_spec, bounds=None):
-        width, height, focal_length, camera_matrix, screen_center = cam_spec
+        # subpixel offset: 0.5 = pixel centers; spp accumulation feeds
+        # low-discrepancy offsets (reference ld_random_pixel_offset)
+        if len(cam_spec) == 6:
+            width, height, focal_length, camera_matrix, screen_center, off = cam_spec
+        else:
+            width, height, focal_length, camera_matrix, screen_center = cam_spec
+            off = jnp.asarray([0.5, 0.5], jnp.float32)
         ids_c = jnp.minimum(ids, n - 1)
         px = (ids_c % width).astype(jnp.float32)
         py = (ids_c // width).astype(jnp.float32)
-        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+        uv = jnp.stack([(px + off[0]) / width, (py + off[1]) / height], axis=-1)
         o, d = uv_to_ray(
             uv, (width, height), focal_length, camera_matrix, screen_center, self.lens
         )

@@ -204,16 +204,45 @@ class Session:
                 out = np.concatenate([out, np.ones_like(out[..., :1])], axis=-1)
             return out
         if self.mode == TestbedMode.NERF:
+            import jax.numpy as jnp
+
+            from sienerf_tpu.ops.samplers import ld_pixel_offset
+            from sienerf_tpu.utils.camera import camera_slerp
+
             params = inference_params(self.state["opt"], self.state["params"])
             if camera_matrix is None:
                 camera_matrix = self.engine.xforms[0]
                 focal = tuple(np.asarray(self.engine.focals[0]) * width / self.engine.resolution[0])
                 kw.setdefault("screen_center", tuple(np.asarray(self.engine.principal_points[0])))
-            rgba, depth = self.engine.render_frame(
-                params, self.state["occ"]["bitfield"], width, height,
-                np.asarray(camera_matrix, np.float32), tuple(np.asarray(focal, np.float32)), **kw
-            )
-            return np.asarray(rgba)
+            # spp accumulation with optional motion-blur camera interpolation
+            # (reference render_to_cpu, python_api.cu:124-233: each sample
+            # renders at a camera slerped toward `camera_matrix_end` and a
+            # low-discrepancy subpixel offset, then frames average linearly
+            # via the accumulate buffer, render_buffer.cu)
+            start = np.asarray(camera_matrix, np.float32)
+            end = np.asarray(kw.pop("camera_matrix_end", start), np.float32)
+            spp = max(int(spp), 1)
+            acc = None
+            for i in range(spp):
+                frac = (i + 0.5) / spp
+                cam_i = (
+                    np.asarray(camera_slerp(start[None], end[None], np.asarray([frac]))[0])
+                    if not np.allclose(start, end)
+                    else start
+                )
+                off = (
+                    jnp.asarray(ld_pixel_offset(i), jnp.float32)
+                    if spp > 1
+                    else None
+                )
+                rgba, depth = self.engine.render_frame(
+                    params, self.state["occ"]["bitfield"], width, height,
+                    cam_i, tuple(np.asarray(focal, np.float32)),
+                    pixel_offset=off, **kw
+                )
+                a = np.asarray(rgba, np.float64)
+                acc = a if acc is None else acc + a
+            return (acc / spp).astype(np.float32)
         if self.mode == TestbedMode.SDF:
             from sienerf_tpu.ops.optim import inference_params as ip
 
