@@ -965,8 +965,13 @@ class NerfEngine:
         cannot distinguish.  Returns a device array."""
         from sienerf_tpu.ops.occupancy import bake_fine_bitfield
 
+        def density_apply(p, pos):
+            raw = density_raw(self.net, p, pos)
+            return apply_density_activation(raw, self.net.density_activation)
+
         fine = bake_fine_bitfield(
-            self._density_fn(params),
+            density_apply,
+            params,
             occ_state["bitfield"],
             float(occ_state["mean_density"]),
             factor=factor,

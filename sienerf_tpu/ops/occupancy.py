@@ -304,7 +304,8 @@ def ray_box_times(o: jnp.ndarray, d: jnp.ndarray, lo, hi) -> tuple:
 
 
 def bake_fine_bitfield(
-    density_fn,
+    density_apply,
+    params,
     coarse_bitfield,
     mean_density: float,
     factor: int = 4,
@@ -326,6 +327,11 @@ def bake_fine_bitfield(
     `dilate` max-pools 3^3 fine voxels for conservativeness against
     sub-voxel density features.
 
+    `density_apply(params, pos)` is the activated density fn with params
+    passed EXPLICITLY — closure-captured tables would be embedded in the
+    HLO as constants (100x slower gathers + oversized remote-compile
+    payloads through the tunnel; see ops/hashgrid.py).
+
     Returns a (C, G*factor, G*factor, G*factor) bool array (host numpy —
     callers move it to device once; ~400MB at 512^3 x 3 cascades).
     """
@@ -341,7 +347,7 @@ def bake_fine_bitfield(
     ).reshape(-1, 3)  # (f^3, 3)
 
     fine = np.zeros((C, Gf, Gf, Gf), bool)
-    eval_jit = jax.jit(lambda x: density_fn(x))
+    eval_jit = jax.jit(density_apply)
     for c in range(C):
         idx = np.argwhere(coarse[c])  # (M, 3) coarse cells
         if len(idx) == 0:
@@ -351,7 +357,7 @@ def bake_fine_bitfield(
         centers = ((fine_idx.astype(np.float32) + 0.5) / Gf - 0.5) * scale + 0.5
         occ = np.empty(len(centers), bool)
         for s in range(0, len(centers), chunk):
-            d = eval_jit(jnp.asarray(centers[s : s + chunk]))
+            d = eval_jit(params, jnp.asarray(centers[s : s + chunk]))
             occ[s : s + chunk] = np.asarray(d) > thresh
         fine[c, fine_idx[:, 0], fine_idx[:, 1], fine_idx[:, 2]] = occ
 

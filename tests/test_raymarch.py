@@ -279,7 +279,7 @@ def test_bake_fine_bitfield_analytic():
         r = jnp.linalg.norm(pos - 0.5, axis=-1)
         return jnp.where(r < 0.2, 5.0, 0.0)
 
-    fine = bake_fine_bitfield(density_fn, coarse, mean_density=1.0, factor=f)
+    fine = bake_fine_bitfield(lambda _p, pos: density_fn(pos), None, coarse, mean_density=1.0, factor=f)
     assert fine.shape == (1, G * f, G * f, G * f)
     Gf = G * f
     ax = (np.arange(Gf) + 0.5) / Gf
