@@ -697,9 +697,54 @@ class NerfEngine:
 
     # --- rendering --------------------------------------------------------
 
+    def _mode_sample_colors(self, params, origins, dirs, ts, dts, counts, render_mode):
+        """Per-sample colors for a render visualisation mode — the TPU
+        equivalent of composite_kernel_nerf's per-mode branches
+        (testbed_nerf.cu:688-702): positions / depth / AO replace the
+        sample color; normals composite the (negated, chain-ruled) density
+        position-gradient and normalize in the epilogue."""
+        rgb, dens, valid = self._eval_samples(params, origins, dirs, ts, dts, counts)
+        mode = render_mode or "shade"
+        if mode in ("shade", "cost"):
+            return rgb, dens, valid
+        N, K = ts.shape
+        pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
+        if mode == "positions":
+            rgb = (pos - 0.5) / 2.0 + 0.5
+        elif mode == "depth":
+            rgb = jnp.broadcast_to(ts[..., None], pos.shape)
+        elif mode == "ao":
+            alpha = 1.0 - jnp.exp(-dens * dts)
+            rgb = jnp.broadcast_to(alpha[..., None], pos.shape)
+        elif mode == "normals":
+            # normal = direction of decreasing density; the hash encoding's
+            # custom VJP supplies the analytic position gradient
+            unit = jnp.clip(
+                (pos.reshape(-1, 3) - self.aabb.min) / self.aabb.diag, 0.0, 1.0
+            )
+
+            def dens_of(pu):
+                raw = density_raw(self.net, params, pu)
+                return apply_density_activation(raw, self.net.density_activation)
+
+            _, vjp = jax.vjp(dens_of, unit)
+            (g,) = vjp(jnp.ones((unit.shape[0],), jnp.float32))
+            rgb = -g.reshape(N, K, 3)
+        else:
+            raise ValueError(f"render mode {mode} not supported for NeRF")
+        return rgb, dens, valid
+
+    @staticmethod
+    def _mode_epilogue(rgb, opacity, render_mode):
+        """Frame epilogue per mode (shade_kernel_nerf, testbed_nerf.cu:1379-1390)."""
+        if render_mode == "normals":
+            n = rgb / jnp.maximum(jnp.linalg.norm(rgb, axis=-1, keepdims=True), 1e-9)
+            return (0.5 * n + 0.5) * opacity[..., None]
+        return rgb
+
     def render_rays(
         self, params, bitfield, origins, dirs, near=None, t_cap=None,
-        min_transmittance=None, fine_bitfield=None,
+        min_transmittance=None, fine_bitfield=None, render_mode=None,
     ):
         """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
 
@@ -754,7 +799,9 @@ class NerfEngine:
             )
             active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
-            rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
+            rgb, dens, valid = self._mode_sample_colors(
+                params, origins, dirs_n, ts, dts, counts, render_mode
+            )
             rgb_sum, opacity, T_out, bw, bt = composite_chunk(
                 rgb, dens, ts, dts, valid, T, minT
             )
@@ -780,13 +827,20 @@ class NerfEngine:
             jnp.zeros((N,), jnp.float32),
             jnp.zeros((N,), jnp.int32),
         )
-        _, _, T, rgb, opacity, _, depth, _ = jax.lax.while_loop(cond, body, init)
+        _, _, T, rgb, opacity, _, depth, used_out = jax.lax.while_loop(cond, body, init)
+        if render_mode == "cost":
+            # steps-per-ray heatmap (shade_kernel_nerf Cost branch,
+            # testbed_nerf.cu:1382-1384) — the perf-debugging oracle
+            col = used_out.astype(jnp.float32) / 128.0
+            rgb = jnp.broadcast_to(col[:, None], rgb.shape)
+            opacity = jnp.ones_like(opacity)
+        rgb = self._mode_epilogue(rgb, opacity, render_mode)
         # internal t is euclidean distance along the normalized dir; the
         # reference's depth convention is z-depth along the camera axis
         # (dot(cam_fwd, pos-cam)), i.e. t / |dirs| for (x,y,1) camera rays.
         return rgb, opacity, depth / dn[:, 0]
 
-    @partial(jax.jit, static_argnums=(0, 3, 4, 7))
+    @partial(jax.jit, static_argnums=(0, 3, 4, 7), static_argnames=("render_mode",))
     def render_frame(
         self,
         params,
@@ -801,6 +855,7 @@ class NerfEngine:
         min_transmittance=None,
         fine_bitfield=None,
         pixel_offset=None,
+        render_mode=None,
     ):
         """Render a full frame with a streaming persistent ray buffer.
 
@@ -883,13 +938,18 @@ class NerfEngine:
             return jnp.any(self._frame_alive(s))
 
         def body(s):
-            return self._frame_round(s, params, bitfield, n, rays_pre, fine_bitfield)
+            return self._frame_round(
+                s, params, bitfield, n, rays_pre, fine_bitfield, render_mode
+            )
 
         s = jax.lax.while_loop(cond, body, state)
         out = s["out"][:n]
         rgb = out[:, :3]
         opacity = out[:, 3]
         depth = out[:, 4]
+        rgb = self._mode_epilogue(rgb, opacity, render_mode)
+        if render_mode == "cost":
+            opacity = jnp.ones_like(opacity)
         if "envmap" in params:
             # envmap background fill (reference initializes the frame buffer
             # to read_envmap(ray.d), testbed_nerf.cu:1526-1527); the solid
@@ -1000,14 +1060,17 @@ class NerfEngine:
         o, d, dn, t0, t1 = (jnp.take(x, ids_c, axis=0) for x in rays_pre)
         return o, d, dn, t0, t1
 
-    def _frame_round(self, s, params, bitfield, n, rays_pre, fine_bitfield=None):
+    def _frame_round(self, s, params, bitfield, n, rays_pre, fine_bitfield=None,
+                     render_mode=None):
         """One streaming-renderer round: march a chunk, evaluate + composite,
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
             self.march, bitfield, s["o"], s["d"], s["t"], s["t1"],
             self.render_chunk, self._march_iters(), fine=fine_bitfield,
         )
-        rgb, dens, valid_s = self._eval_samples(params, s["o"], s["d"], ts, dts, counts)
+        rgb, dens, valid_s = self._mode_sample_colors(
+            params, s["o"], s["d"], ts, dts, counts, render_mode
+        )
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(
             rgb, dens, ts, dts, valid_s, s["T"], s["minT"]
         )
@@ -1031,9 +1094,16 @@ class NerfEngine:
         # multi-scatters serialize on TPU); non-done slots target the
         # sacrificial row n, which sorts to the end and is sliced off.
         tgt = jnp.where(done, s["ids"], n)
-        payload = jnp.concatenate(
-            [rgb_acc, op_acc[:, None], (bt_n / s["dnorm"])[:, None]], axis=1
-        )
+        if render_mode == "cost":
+            col = used_n.astype(jnp.float32) / 128.0
+            payload = jnp.concatenate(
+                [jnp.broadcast_to(col[:, None], rgb_acc.shape), op_acc[:, None],
+                 (bt_n / s["dnorm"])[:, None]], axis=1
+            )
+        else:
+            payload = jnp.concatenate(
+                [rgb_acc, op_acc[:, None], (bt_n / s["dnorm"])[:, None]], axis=1
+            )
         order = jnp.argsort(tgt)
         s2["out"] = s2["out"].at[jnp.take(tgt, order)].set(
             jnp.take(payload, order, axis=0), indices_are_sorted=True

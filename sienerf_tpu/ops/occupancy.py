@@ -340,7 +340,10 @@ def bake_fine_bitfield(
     coarse = np.asarray(coarse_bitfield)
     C, G = coarse.shape[0], coarse.shape[1]
     Gf = G * factor
+    # the grid stores OPTICAL THICKNESS (density * MIN_CONE_STEPSIZE, see
+    # update_density_grid); compare in the same units
     thresh = float(min(float(mean_density), NERF_MIN_OPTICAL_THICKNESS))
+    thresh_raw = thresh / MIN_CONE_STEPSIZE
     f3 = factor**3
     offs = np.stack(
         np.meshgrid(*([np.arange(factor)] * 3), indexing="ij"), axis=-1
@@ -358,7 +361,7 @@ def bake_fine_bitfield(
         occ = np.empty(len(centers), bool)
         for s in range(0, len(centers), chunk):
             d = eval_jit(params, jnp.asarray(centers[s : s + chunk]))
-            occ[s : s + chunk] = np.asarray(d) > thresh
+            occ[s : s + chunk] = np.asarray(d) > thresh_raw
         fine[c, fine_idx[:, 0], fine_idx[:, 1], fine_idx[:, 2]] = occ
 
     if dilate:

@@ -275,9 +275,10 @@ def test_bake_fine_bitfield_analytic():
     coarse = np.zeros((1, G, G, G), bool)
     coarse[0, 2:6, 2:6, 2:6] = True
 
-    def density_fn(pos):  # dense ball of radius 0.2 at center
+    def density_fn(pos):  # dense ball of radius 0.2 at center (the bake
+        # thresholds RAW density at min(mean,0.01)/MIN_CONE_STEPSIZE ~ 5.9)
         r = jnp.linalg.norm(pos - 0.5, axis=-1)
-        return jnp.where(r < 0.2, 5.0, 0.0)
+        return jnp.where(r < 0.2, 50.0, 0.0)
 
     fine = bake_fine_bitfield(lambda _p, pos: density_fn(pos), None, coarse, mean_density=1.0, factor=f)
     assert fine.shape == (1, G * f, G * f, G * f)
