@@ -447,6 +447,8 @@ def test_nerf_render_modes():
     """render_frame(render_mode=...) parity with SDF mode's visualisation set
     (composite_kernel_nerf branches testbed_nerf.cu:688-702, Cost heatmap
     :1382; VERDICT r1 Missing #2)."""
+    from sienerf_tpu.engines.nerf import NerfEngine
+
     ds = make_dataset()
     eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 11, grid_size=16, train_k=16)
     eng.train_march_iters = 32
