@@ -36,8 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--save_mesh", default=None)
     p.add_argument("--marching_cubes_res", type=int, default=256)
     p.add_argument("--test_transforms", default=None, help="NeRF eval: transforms json with test views")
-    p.add_argument("--eval_downscale", type=int, default=2)
-    p.add_argument("--eval_max_views", type=int, default=8)
+    # eval protocol defaults follow the reference (scripts/run.py:210-268):
+    # every test view, full resolution, spp=8, black bg, minT=1e-4
+    p.add_argument("--eval_downscale", type=int, default=1)
+    p.add_argument("--eval_max_views", type=int, default=0, help="0 = all test views")
+    p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--optimize_extrinsics", action="store_true")
     return p.parse_args(argv)
 
@@ -91,19 +94,33 @@ def main(argv=None):
         from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
         from sienerf_tpu.ops.optim import inference_params
 
+        import jax.numpy as jnp
+
+        from sienerf_tpu.ops.samplers import ld_pixel_offset
+
         test_ds = load_nerf_dataset(args.test_transforms, downscale=args.downscale * args.eval_downscale)
         params = inference_params(sess.state["opt"], sess.state["params"])
         bf = sess.state["occ"]["bitfield"]
         w, h = test_ds.resolution
+        n_views = test_ds.n_images if args.eval_max_views <= 0 else min(
+            test_ds.n_images, args.eval_max_views)
+        spp = max(args.eval_spp, 1)
         psnrs, ssims = [], []
-        for vi in range(min(test_ds.n_images, args.eval_max_views)):
-            rgba, _ = sess.engine.render_frame(
-                params, bf, w, h, test_ds.xforms[vi], tuple(test_ds.focal_lengths[vi]),
-                screen_center=tuple(test_ds.principal_points[vi]),
-            )
+        for vi in range(n_views):
+            acc = None
+            for si in range(spp):
+                off = jnp.asarray(ld_pixel_offset(si), jnp.float32) if spp > 1 else None
+                rgba, _ = sess.engine.render_frame(
+                    params, bf, w, h, test_ds.xforms[vi], tuple(test_ds.focal_lengths[vi]),
+                    screen_center=tuple(test_ds.principal_points[vi]),
+                    min_transmittance=1e-4, pixel_offset=off,
+                )
+                a = np.asarray(rgba, np.float64)
+                acc = a if acc is None else acc + a
+            rgba = acc / spp
             gt = test_ds.images[vi]
             gt_rgb = gt[..., :3] * gt[..., 3:4]  # eval protocol: black background
-            pred = np.asarray(rgba[..., :3])
+            pred = np.asarray(rgba[..., :3], np.float32)
             psnrs.append(psnr_of(pred, gt_rgb))
             ssims.append(ssim_of(pred, gt_rgb))
             log.info(f"view {vi}: psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f}")

@@ -52,6 +52,38 @@ def _latlong_solid_angles(width: int, height: int) -> jnp.ndarray:
     return jnp.tile(w[:, None], (1, width)).reshape(-1)
 
 
+def _march_probe_rays(nerf_engine, params, bf, origins, dirs, chunk: int = 1 << 15):
+    """March the outer product of probe `origins` (P,3) x lat-long `dirs`
+    (D,3) as ONE flat ray batch in fixed-size chunks (padded), so a whole
+    probe lattice costs ceil(P*D/chunk) dispatches of a single compiled
+    graph instead of P sequential envmap renders (measured round-1: 27
+    sequential probes = 77 s; batched bake is the VERDICT r1 #5 fix).
+
+    Returns (P, D, 4) radiance+opacity."""
+    P, D = origins.shape[0], dirs.shape[0]
+    n = P * D
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    idx = jnp.arange(n_pad)
+    o_all = jnp.take(origins, jnp.minimum(idx // D, P - 1), axis=0)
+    d_all = jnp.take(dirs, idx % D, axis=0)
+
+    # One jitted probe-march (eager op-by-op marching would dispatch per
+    # while-round).  fp32 table: conservative — bf16 packing is only
+    # proven to compile well inside the render_frame graph.
+    @jax.jit
+    def probe(params, bf, o, d):
+        return nerf_engine.render_rays(params, bf, o, d, near=0.0)
+
+    rgbs, ops = [], []
+    for i in range(0, n_pad, chunk):
+        rgb, op, _ = probe(params, bf, o_all[i : i + chunk], d_all[i : i + chunk])
+        rgbs.append(rgb)
+        ops.append(op)
+    rgb = jnp.concatenate(rgbs)[:n]
+    op = jnp.concatenate(ops)[:n]
+    return jnp.concatenate([rgb, op[:, None]], axis=-1).reshape(P, D, 4)
+
+
 def render_envmap(nerf_engine, state, origin, width: int = 64, height: int = 32, chunk: int = 8192):
     """March the NeRF outward from `origin` along a lat-long direction grid.
 
@@ -62,26 +94,9 @@ def render_envmap(nerf_engine, state, origin, width: int = 64, height: int = 32,
     params = inference_params(state["opt"], state["params"])
     bf = state["occ"]["bitfield"]
     dirs = _latlong_dirs(width, height)
-    n = dirs.shape[0]
-    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (n, 3))
-
-    # One jitted probe-march (eager op-by-op marching would dispatch per
-    # while-round).  fp32 table: conservative — bf16 packing is only
-    # proven to compile well inside the render_frame graph.
-    @jax.jit
-    def probe(params, bf, o, d):
-        return nerf_engine.render_rays(params, bf, o, d, near=0.0)
-
-    rgbs, ops = [], []
-    for i in range(0, n, chunk):
-        o = origin[i : i + chunk]
-        d = dirs[i : i + chunk]
-        rgb, op, _ = probe(params, bf, o, d)
-        rgbs.append(rgb)
-        ops.append(op)
-    rgb = jnp.concatenate(rgbs)
-    op = jnp.concatenate(ops)
-    return jnp.concatenate([rgb, op[:, None]], axis=-1).reshape(height, width, 4)
+    origin = jnp.asarray(origin, jnp.float32).reshape(1, 3)
+    em = _march_probe_rays(nerf_engine, params, bf, origin, dirs, chunk)
+    return em.reshape(height, width, 4)
 
 
 def render_envmap_multi(
@@ -97,11 +112,12 @@ def render_envmap_multi(
     ct = 2 * h2[:, 1] - 1
     st = np.sqrt(np.maximum(1 - ct * ct, 0))
     offsets = radius * np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], axis=-1)
-    acc = None
-    for off in offsets:
-        em = render_envmap(nerf_engine, state, np.asarray(origin) + off, width, height)
-        acc = em if acc is None else acc + em
-    return acc / n_origins
+    params = inference_params(state["opt"], state["params"])
+    bf = state["occ"]["bitfield"]
+    origins = jnp.asarray(np.asarray(origin, np.float32) + offsets, jnp.float32)
+    dirs = _latlong_dirs(width, height)
+    em = _march_probe_rays(nerf_engine, params, bf, origins, dirs)
+    return em.mean(axis=0).reshape(height, width, 4)
 
 
 # --- irradiance from an envmap ----------------------------------------------
@@ -191,16 +207,23 @@ def bake_probe_grid(
     """
     g = grid_size
     lin = [np.linspace(aabb_min[i], aabb_max[i], g + 2)[1:-1] for i in range(3)]
-    coeffs = np.zeros((g, g, g, 9, 3), np.float32)
     off = np.asarray(center_offset, np.float32)
-    for ix in range(g):
-        for iy in range(g):
-            for iz in range(g):
-                origin = np.asarray([lin[0][ix], lin[1][iy], lin[2][iz]], np.float32) - off
-                em = render_envmap(nerf_engine, state, origin, env_width, env_height)
-                coeffs[ix, iy, iz] = np.asarray(sh_project_envmap(em))
+    gx, gy, gz = np.meshgrid(lin[0], lin[1], lin[2], indexing="ij")
+    origins = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32) - off
+
+    params = inference_params(state["opt"], state["params"])
+    bf = state["occ"]["bitfield"]
+    dirs = _latlong_dirs(env_width, env_height)
+    ems = _march_probe_rays(
+        nerf_engine, params, bf, jnp.asarray(origins), dirs
+    )  # (g^3, HW, 4)
+
+    # vectorized SH projection over all probes at once
+    sa = _latlong_solid_angles(env_width, env_height)
+    Y = sh9_basis(dirs)  # (HW, 9)
+    coeffs = jnp.einsum("nk,pnc,n->pkc", Y, ems[..., :3], sa).reshape(g, g, g, 9, 3)
     return {
-        "coeffs": jnp.asarray(coeffs),
+        "coeffs": coeffs,
         "min": jnp.asarray(aabb_min, jnp.float32),
         "max": jnp.asarray(aabb_max, jnp.float32),
     }

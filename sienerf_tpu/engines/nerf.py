@@ -840,7 +840,7 @@ class NerfEngine:
         # (dot(cam_fwd, pos-cam)), i.e. t / |dirs| for (x,y,1) camera rays.
         return rgb, opacity, depth / dn[:, 0]
 
-    @partial(jax.jit, static_argnums=(0, 3, 4, 7), static_argnames=("render_mode",))
+    @partial(jax.jit, static_argnums=(0, 3, 4, 7), static_argnames=("tile", "render_mode"))
     def render_frame(
         self,
         params,
