@@ -1038,6 +1038,14 @@ class NerfEngine:
         )
         return jnp.asarray(fine)
 
+    def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "trilinear"):
+        """Bake the density branch into a render-side feature grid
+        (engines/nerf_baked.py).  Returns (grid pytree, static meta) for
+        render_frame_baked — the fast path for interactive orbits."""
+        from sienerf_tpu.engines.nerf_baked import bake_feature_grid
+
+        return bake_feature_grid(self, params, occ_state["bitfield"], resolution, mode)
+
     def _render_budget(self) -> int:
         """Per-ray render sample budget = the training march budget (see
         render_rays): full cap under compact training, train_k legacy."""
@@ -1088,7 +1096,16 @@ class NerfEngine:
 
         s2 = {**s, "rgb": rgb_acc, "op": op_acc, "bw": bw_n, "bt": bt_n,
               "t": t_n, "T": T_n, "chunks": chunks_n, "used": used_n}
-        now_alive = self._frame_alive(s2)
+        return self._frame_flush_refill(s, s2, n, rays_pre, self._frame_alive, render_mode)
+
+    def _frame_flush_refill(self, s, s2, n, rays_pre, alive_fn, render_mode=None):
+        """Shared streaming-renderer tail: flush finished rays to the packed
+        frame output with one sorted scatter, then refill their slots from
+        the pixel stream.  Used by both the live-march renderer
+        (_frame_round) and the baked-grid renderer (engines/nerf_baked.py)."""
+        used_n = s2["used"]
+        rgb_acc, op_acc, bw_n, bt_n = s2["rgb"], s2["op"], s2["bw"], s2["bt"]
+        now_alive = alive_fn(s2)
         done = s["valid"] & ~now_alive
         # Flush finished rays with ONE packed, SORTED scatter (unsorted
         # multi-scatters serialize on TPU); non-done slots target the

@@ -193,6 +193,20 @@ class Session:
 
     # --- rendering ----------------------------------------------------------
 
+    def bake(self, resolution: int = 256, mode: str = "trilinear"):
+        """Bake the trained NeRF into a render-side feature grid (NeRF mode
+        only; engines/nerf_baked.py).  Cached until the next bake() call —
+        re-bake after further training.  render(renderer="baked") uses it."""
+        from sienerf_tpu.ops.optim import inference_params
+
+        if self.mode != TestbedMode.NERF:
+            raise RuntimeError("bake() is a NeRF-mode operation")
+        params = inference_params(self.state["opt"], self.state["params"])
+        self._baked = self.engine.bake_features(
+            params, self.state["occ"], resolution=resolution, mode=mode
+        )
+        return self._baked
+
     def render(self, width: int, height: int, camera_matrix=None, focal=None, spp: int = 1, **kw):
         """Offscreen render -> numpy (H, W, 4) (pyngp Testbed.render)."""
         from sienerf_tpu.ops.optim import inference_params
@@ -221,6 +235,12 @@ class Session:
             # via the accumulate buffer, render_buffer.cu)
             start = np.asarray(camera_matrix, np.float32)
             end = np.asarray(kw.pop("camera_matrix_end", start), np.float32)
+            renderer = kw.pop("renderer", "live")
+            if renderer == "baked":
+                baked = getattr(self, "_baked", None)
+                if baked is None:
+                    baked = self.bake(resolution=kw.pop("bake_resolution", 256),
+                                      mode=kw.pop("bake_mode", "trilinear"))
             spp = max(int(spp), 1)
             acc = None
             for i in range(spp):
@@ -235,11 +255,23 @@ class Session:
                     if spp > 1
                     else None
                 )
-                rgba, depth = self.engine.render_frame(
-                    params, self.state["occ"]["bitfield"], width, height,
-                    cam_i, tuple(np.asarray(focal, np.float32)),
-                    pixel_offset=off, **kw
-                )
+                if renderer == "baked":
+                    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+
+                    grid, meta = baked
+                    rgba, depth = render_frame_baked(
+                        self.engine, params, self.state["occ"]["bitfield"], grid,
+                        cam_i, tuple(np.asarray(focal, np.float32)),
+                        width=width, height=height,
+                        resolution=meta["resolution"], mode=meta["mode"],
+                        pixel_offset=off, **kw
+                    )
+                else:
+                    rgba, depth = self.engine.render_frame(
+                        params, self.state["occ"]["bitfield"], width, height,
+                        cam_i, tuple(np.asarray(focal, np.float32)),
+                        pixel_offset=off, **kw
+                    )
                 a = np.asarray(rgba, np.float64)
                 acc = a if acc is None else acc + a
             return (acc / spp).astype(np.float32)

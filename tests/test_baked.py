@@ -1,0 +1,163 @@
+"""Baked feature grid (ops/baked.py + engines/nerf_baked.py): quantization
+roundtrip, lookup exactness, and end-to-end baked-vs-live render parity on
+the synthetic ball scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sienerf_tpu.ops.baked import (
+    _decode_rows,
+    baked_features,
+    pack_cells_from_vertices,
+    quantize_rows,
+)
+
+from test_nerf_mode import RES, make_dataset, tiny_config
+
+
+def test_quantize_roundtrip_and_sentinel():
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (64, 16)) * 3.0
+    scale = jnp.max(jnp.abs(feats), axis=0) / 127.0
+    keep = jnp.arange(64) % 2 == 0
+    rows = quantize_rows(feats, scale, keep)
+    assert rows.shape == (64, 4) and rows.dtype == jnp.int32
+    dec, sent = _decode_rows(rows, scale)
+    assert np.array_equal(np.asarray(sent), ~np.asarray(keep))
+    kept = np.asarray(keep)
+    err = np.abs(np.asarray(dec)[kept] - np.asarray(feats)[kept])
+    assert err.max() <= np.asarray(scale).max() * 0.51 + 1e-6
+
+
+def _lattice_field(R):
+    """Deterministic smooth feature field sampled on the (R+1)^3 lattice."""
+    Rv = R + 1
+    ax = jnp.linspace(0.0, 1.0, Rv)
+    x, y, z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    feats = jnp.stack(
+        [jnp.sin(3 * x + c) + jnp.cos(2 * y - c) + z * c * 0.1 for c in range(16)],
+        axis=-1,
+    ).reshape(-1, 16)
+    return feats
+
+
+def test_nearest_lookup_matches_lattice():
+    R = 8
+    feats = _lattice_field(R)
+    scale = jnp.maximum(jnp.max(jnp.abs(feats), axis=0), 1e-6) / 127.0
+    rows = quantize_rows(feats, scale, jnp.ones(feats.shape[0], bool))
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    # query exactly at interior lattice vertices
+    ids = jnp.arange(feats.shape[0])
+    Rv = R + 1
+    ijk = jnp.stack([ids // (Rv * Rv), (ids // Rv) % Rv, ids % Rv], axis=-1)
+    pos = ijk.astype(jnp.float32) / R * 0.999999  # keep hi-edge in-bbox
+    out = baked_features(rows, scale, lo, hi, R, "nearest", pos)
+    err = np.abs(np.asarray(out) - np.asarray(feats))
+    assert err.max() <= np.asarray(scale).max() * 0.51 + 1e-5
+
+
+def test_trilinear_cell_center_is_corner_mean():
+    R = 4
+    feats = _lattice_field(R)
+    scale = jnp.maximum(jnp.max(jnp.abs(feats), axis=0), 1e-6) / 127.0
+    vrows = quantize_rows(feats, scale, jnp.ones(feats.shape[0], bool))
+    crows = pack_cells_from_vertices(vrows, R, chunk=16)
+    assert crows.shape == (R**3, 32)
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    # cell centers: trilinear = mean of the 8 corners
+    ax = (jnp.arange(R) + 0.5) / R
+    cx, cy, cz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pos = jnp.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+    out = baked_features(vrows, scale, lo, hi, R, "nearest", pos)  # sanity: runs
+    out = baked_features(crows, scale, lo, hi, R, "trilinear", pos)
+    dec, _ = _decode_rows(vrows, scale)
+    dec = np.asarray(dec).reshape(R + 1, R + 1, R + 1, 16)
+    mean8 = (
+        dec[:-1, :-1, :-1] + dec[:-1, :-1, 1:] + dec[:-1, 1:, :-1] + dec[:-1, 1:, 1:]
+        + dec[1:, :-1, :-1] + dec[1:, :-1, 1:] + dec[1:, 1:, :-1] + dec[1:, 1:, 1:]
+    ).reshape(-1, 16) / 8.0
+    assert np.abs(np.asarray(out) - mean8).max() < 1e-3
+
+
+def test_trilinear_corner_order():
+    """Querying epsilon-inside each corner of a cell returns that corner's
+    vertex value — catches packing/lookup corner-order mismatches that the
+    (order-invariant) cell-center test cannot."""
+    R = 2
+    feats = _lattice_field(R)
+    scale = jnp.maximum(jnp.max(jnp.abs(feats), axis=0), 1e-6) / 127.0
+    vrows = quantize_rows(feats, scale, jnp.ones(feats.shape[0], bool))
+    crows = pack_cells_from_vertices(vrows, R, chunk=8)
+    dec, _ = _decode_rows(vrows, scale)
+    dec = np.asarray(dec).reshape(R + 1, R + 1, R + 1, 16)
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    eps = 1e-4
+    for ci, cj, ck in [(0, 0, 0), (1, 0, 1), (0, 1, 1), (1, 1, 0)]:  # cell ids
+        for dx, dy, dz in [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)]:
+            vert = np.array([ci + dx, cj + dy, ck + dz]) / R
+            inward = (np.array([ci, cj, ck]) + 0.5) / R - vert
+            pos = jnp.asarray(vert + eps * np.sign(inward) * (np.abs(inward) > 0), jnp.float32)
+            out = baked_features(crows, scale, lo, hi, R, "trilinear", pos[None])
+            want = dec[ci + dx, cj + dy, ck + dz]
+            assert np.abs(np.asarray(out[0]) - want).max() < 1e-2, (ci, cj, ck, dx, dy, dz)
+
+
+def test_out_of_bbox_is_transparent():
+    R = 4
+    feats = _lattice_field(R) + 5.0  # well away from the sentinel range
+    scale = jnp.maximum(jnp.max(jnp.abs(feats), axis=0), 1e-6) / 127.0
+    rows = quantize_rows(feats, scale, jnp.ones(feats.shape[0], bool))
+    pos = jnp.asarray([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.2]])
+    out = baked_features(rows, scale, jnp.zeros(3), jnp.ones(3), R, "nearest", pos)
+    assert np.all(np.asarray(out[:, 0]) <= -99.0)  # sentinel raw density
+
+
+@pytest.fixture(scope="module")
+def trained_small():
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 14, grid_size=32, train_k=48)
+    eng.train_march_iters = 128
+    eng._phase = "fast"
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+    return eng, state, ds
+
+
+@pytest.mark.parametrize("mode", ["trilinear", "nearest"])
+def test_baked_render_matches_live(trained_small, mode):
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    grid, meta = eng.bake_features(params, state["occ"], resolution=64, mode=mode)
+
+    cam = ds.xforms[0]
+    focal = tuple(np.asarray(ds.focal_lengths[0], np.float32))
+    live, _ = eng.render_frame(
+        params, bitfield, RES, RES, cam, focal, tile=1 << 12, min_transmittance=1e-4
+    )
+    baked, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal,
+        width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
+        tile=1 << 12, candidates=32, min_transmittance=1e-4,
+    )
+    live, baked = np.asarray(live), np.asarray(baked)
+    assert np.isfinite(baked).all()
+    mse = float(np.mean((live[..., :3] - baked[..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    # the baked field is a quantized lattice approximation of the live one;
+    # on the smooth ball scene they should agree closely
+    assert psnr > 22.0, (mode, psnr)
+    # opacity masks agree on most pixels
+    agree = np.mean((live[..., 3] > 0.5) == (baked[..., 3] > 0.5))
+    assert agree > 0.95, (mode, agree)

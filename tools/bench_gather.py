@@ -119,9 +119,85 @@ def bench_onehot(T, C, N, dtype):
     return rate
 
 
+def bench_split(T, C, N, dtype, k, barrier=False):
+    """ONE table, the gather split into k independent index chunks —
+    exploits the measured latency-bound overlap of independent gathers."""
+    table = jax.random.normal(jax.random.PRNGKey(0), (T, C), dtype)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, T, jnp.int32)
+
+    @jax.jit
+    def f(idx, table):
+        chunks = jnp.split(idx, k)
+        outs = [jnp.take(table, c, axis=0) for c in chunks]
+        if barrier:
+            outs = [jax.lax.optimization_barrier(o) for o in outs]
+        return jnp.concatenate(outs)
+
+    dt = timeit(f, idx, table)
+    rate = N / dt
+    print(
+        f"splt T=2^{int(np.log2(T)):2d} C={C:3d} {np.dtype(dtype).name:8s} "
+        f"N=2^{int(np.log2(N)):2d} k={k:3d} bar={int(barrier)}: "
+        f"{dt*1e3:7.2f} ms  {rate/1e6:8.1f} M rows/s  "
+        f"{rate * C * np.dtype(dtype).itemsize / 1e9:6.1f} GB/s"
+    )
+    return rate
+
+
+def bench_isolate(T, C, Nc, dtype, variant):
+    """Isolate WHY 8 separate tables gather 8x faster than one:
+    a. same table, 8 idx chunks, summed (N_out = Nc)
+    b. 8 distinct tables, same idx, summed
+    c. 8 distinct tables, distinct idx, concatenated (N_out = 8*Nc)
+    """
+    key = jax.random.PRNGKey(0)
+    tables = [jax.random.normal(jax.random.fold_in(key, i), (T, C), dtype) for i in range(8)]
+    idxs = [jax.random.randint(jax.random.fold_in(key, 100 + i), (Nc,), 0, T, jnp.int32) for i in range(8)]
+
+    if variant == "a":
+        @jax.jit
+        def f(tbl, *idxs):
+            return sum(jnp.take(tbl, ix, axis=0) for ix in idxs)
+        args = (tables[0], *idxs)
+        rows = 8 * Nc
+    elif variant == "b":
+        @jax.jit
+        def f(ix, *tbls):
+            return sum(jnp.take(tb, ix, axis=0) for tb in tbls)
+        args = (idxs[0], *tables)
+        rows = 8 * Nc
+    else:
+        @jax.jit
+        def f(idxs, tbls):
+            return jnp.concatenate([jnp.take(tb, ix, axis=0) for tb, ix in zip(tbls, idxs)])
+        args = (idxs, tables)
+        rows = 8 * Nc
+    dt = timeit(f, *args)
+    rate = rows / dt
+    print(
+        f"iso{variant} T=2^{int(np.log2(T)):2d} C={C:3d} {np.dtype(dtype).name:8s} "
+        f"Nc=2^{int(np.log2(Nc)):2d}: {dt*1e3:7.2f} ms  {rate/1e6:8.1f} M rows/s"
+    )
+    return rate
+
+
 def main():
     which = set(sys.argv[1:]) or {"xla", "pallas"}
     N = 1 << 20
+    if "isolate" in which:
+        for v in ("a", "b", "c"):
+            bench_isolate(1 << 19, 32, 1 << 17, jnp.bfloat16, v)
+        for v in ("a", "b"):
+            bench_isolate(1 << 19, 32, 1 << 15, jnp.bfloat16, v)
+    if "split" in which:
+        for k in (8, 32, 128):
+            bench_split(1 << 19, 32, N, jnp.bfloat16, k)
+        bench_split(1 << 19, 32, N, jnp.bfloat16, 32, barrier=True)
+        for k in (8, 32):
+            bench_split(1 << 19, 8, N, jnp.float32, k)
+        bench_split(1 << 16, 32, N, jnp.int8, 32)
+        for nt in (16, 32):
+            bench_xla(1 << 19, 32, N >> 3, jnp.bfloat16, n_tables=nt)
     if "xla" in which:
         for T in (1 << 16, 1 << 19):
             for C, dtype in ((32, jnp.float32), (32, jnp.bfloat16), (8, jnp.float32)):
