@@ -1038,7 +1038,7 @@ class NerfEngine:
         )
         return jnp.asarray(fine)
 
-    def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "trilinear"):
+    def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "nearest"):
         """Bake the density branch into a render-side feature grid
         (engines/nerf_baked.py).  Returns (grid pytree, static meta) for
         render_frame_baked — the fast path for interactive orbits."""

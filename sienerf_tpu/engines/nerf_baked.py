@@ -36,11 +36,16 @@ from sienerf_tpu.models.nerf_network import (
     apply_density_activation,
     apply_rgb_activation,
 )
-from sienerf_tpu.ops.baked import baked_features, pack_cells_from_vertices, quantize_rows
+from sienerf_tpu.ops.baked import (
+    baked_features,
+    cascade_extent,
+    pack_cells_from_vertices,
+    quantize_rows,
+)
 from sienerf_tpu.ops.encodings import sh_encode
 from sienerf_tpu.ops.mlp import mlp_apply
 from sienerf_tpu.ops.occupancy import mip_from_pos, occupancy_lookup, occupied_bbox
-from sienerf_tpu.ops.raymarch import advance_to_occupied, composite_chunk
+from sienerf_tpu.ops.raymarch import advance_to_occupied, composite_chunk, retreat_to_occupied
 
 
 def _dilate3(bitfield: jnp.ndarray) -> jnp.ndarray:
@@ -68,48 +73,53 @@ def bake_feature_grid(
     params,
     bitfield,
     resolution: int = 256,
-    mode: str = "trilinear",
+    mode: str = "nearest",
     chunk: int = 1 << 19,
     subset: int = 1 << 18,
 ):
-    """Bake the density branch onto a regular grid over the occupied bbox.
+    """Bake the density branch onto one (R+1)^3 vertex lattice PER occupancy
+    cascade (cascade m = cube of side 2^m centered at 0.5, the occupancy
+    grid's own convention) — the subject keeps fine voxels, the background
+    coarsens geometrically, exactly like the reference's cascaded density
+    grid (nerf_device.cuh mip_from_pos).
 
-    Returns ({"rows", "scale", "lo", "hi"}, meta) where meta =
-    {"resolution", "mode"} must be passed statically to the renderer.
-    Everything runs on device; nothing round-trips to host.
+    Returns ({"rows", "scale"}, meta) where meta = {"resolution", "mode",
+    "n_cascades"} must be passed statically to the renderer.  Everything
+    runs on device; nothing round-trips to host.
     """
     R = resolution
     Rv = R + 1
     n_vertices = Rv**3
-    lo, hi = occupied_bbox(bitfield)
-    # pad by one voxel so surface cells keep valid corner neighborhoods;
-    # guard the fully-empty grid (lo > hi) with the unit cube
-    empty = jnp.any(lo > hi)
-    lo = jnp.where(empty, jnp.zeros(3), lo)
-    hi = jnp.where(empty, jnp.ones(3), hi)
-    pad = (hi - lo) / R
-    lo = lo - pad
-    hi = hi + pad
     dilated = _dilate3(bitfield)
     n_casc = bitfield.shape[0]
     amin = jnp.asarray(engine.aabb.min, jnp.float32)
     adiag = jnp.asarray(engine.aabb.diag, jnp.float32)
 
-    def vertex_feats(ids, p):
-        pos = _vertex_positions(ids, R, lo, hi)
+    def vertex_feats(ids, casc, p):
+        ext = cascade_extent(casc)
+        lo = 0.5 - 0.5 * ext
+        pos = _vertex_positions(ids, R, lo, lo + ext)
         unit = jnp.clip((pos - amin) / adiag, 0.0, 1.0)
         feats = mlp_apply(
             engine.net.density_mlp, p["density_mlp"], _encode_pos(engine.net, p, unit)
         )
-        occ = occupancy_lookup(dilated, pos, mip_from_pos(pos, n_casc))
+        # cull by the trained-occupancy bitfield at the vertex's own cascade
+        # (finer cascades own the inner region; outer vertices inside it are
+        # still culled by their own cascade's grid, matching the marcher)
+        occ = occupancy_lookup(
+            dilated, pos, jnp.full(ids.shape, casc, jnp.int32)
+        )
         return feats, occ
 
     @jax.jit
     def compute_scale(p):
         ids = jnp.linspace(0, n_vertices - 1, subset).astype(jnp.int32)
-        feats, occ = vertex_feats(ids, p)
-        mx = jnp.max(jnp.where(occ[:, None], jnp.abs(feats), 0.0), axis=0)
-        return jnp.maximum(mx, 1e-6) / 127.0
+        scales = []
+        for k in range(n_casc):
+            feats, occ = vertex_feats(ids, k, p)
+            mx = jnp.max(jnp.where(occ[:, None], jnp.abs(feats), 0.0), axis=0)
+            scales.append(jnp.maximum(mx, 1e-6) / 127.0)
+        return jnp.stack(scales)  # (K, F)
 
     scale = compute_scale(params)
 
@@ -119,21 +129,23 @@ def bake_feature_grid(
     def bake_vertices(p, scale):
         ids_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
         ids_all = jnp.minimum(ids_all, n_vertices - 1)
+        per_casc = []
+        for k in range(n_casc):
+            def one(ids, k=k):
+                feats, occ = vertex_feats(ids, k, p)
+                return quantize_rows(feats, scale[k], occ)
 
-        def one(ids):
-            feats, occ = vertex_feats(ids, p)
-            return quantize_rows(feats, scale, occ)
-
-        rows = jax.lax.map(one, ids_all)
-        return rows.reshape(n_chunks * chunk, -1)[:n_vertices]
+            rows = jax.lax.map(one, ids_all)
+            per_casc.append(rows.reshape(n_chunks * chunk, -1)[:n_vertices])
+        return jnp.concatenate(per_casc, axis=0)
 
     vrows = bake_vertices(params, scale)
     if mode == "trilinear":
-        rows = jax.jit(pack_cells_from_vertices, static_argnums=(1,))(vrows, R)
+        rows = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(vrows, R, n_casc)
     else:
         rows = vrows
-    grid = {"rows": rows, "scale": scale, "lo": lo, "hi": hi}
-    return grid, {"resolution": R, "mode": mode}
+    grid = {"rows": rows, "scale": scale}
+    return grid, {"resolution": R, "mode": mode, "n_cascades": n_casc}
 
 
 # --- rendering ---------------------------------------------------------------
@@ -176,8 +188,8 @@ def _baked_sample_colors(engine, params, grid, meta, o, d, ts, valid):
     A, P = ts.shape
     pos = o[:, None, :] + ts[..., None] * d[:, None, :]
     raw = baked_features(
-        grid["rows"], grid["scale"], grid["lo"], grid["hi"],
-        meta["resolution"], meta["mode"], pos.reshape(-1, 3),
+        grid["rows"], grid["scale"],
+        meta["resolution"], meta["n_cascades"], meta["mode"], pos.reshape(-1, 3),
     )  # (A*P, F)
     dens = apply_density_activation(raw[:, 0], engine.net.density_activation)
     dirw = (d / jnp.linalg.norm(d, axis=-1, keepdims=True) + 1.0) * 0.5
@@ -235,8 +247,8 @@ def _baked_round(engine, s, params, grid, meta, n, rays_pre, P: int, step_scale:
     jax.jit,
     static_argnums=(0,),
     static_argnames=(
-        "width", "height", "resolution", "mode", "tile", "candidates",
-        "step_scale", "max_rounds",
+        "width", "height", "resolution", "mode", "n_cascades", "tile",
+        "candidates", "step_scale", "max_rounds",
     ),
 )
 def render_frame_baked(
@@ -251,7 +263,8 @@ def render_frame_baked(
     height: int,
     resolution: int,
     mode: str,
-    tile: int = 1 << 14,
+    n_cascades: int = 1,
+    tile: int = 1 << 16,
     candidates: int = 64,
     step_scale: float = 1.0,
     max_rounds: int = 24,
@@ -269,7 +282,7 @@ def render_frame_baked(
     testbed_nerf.cu:364) — after that, empty space costs gathers, not
     serial march iterations.
     """
-    meta = {"resolution": resolution, "mode": mode}
+    meta = {"resolution": resolution, "mode": mode, "n_cascades": n_cascades}
     n = width * height
     A = min(tile, max(256, n))
     bg = jnp.asarray(background, jnp.float32)
@@ -280,14 +293,13 @@ def render_frame_baked(
     bounds = occupied_bbox(bitfield)
     ids_all = jnp.arange(n, dtype=jnp.int32)
     o_a, d_a, dn_a, t0_a, t1_a = engine._frame_make_rays(ids_all, n, cam_spec, bounds)
-    # clamp to the bake bbox: the baked field is undefined outside it
-    from sienerf_tpu.ops.occupancy import ray_box_times
-
-    btmin, btmax = ray_box_times(o_a, d_a, grid["lo"], grid["hi"])
-    t0_a = jnp.maximum(t0_a, btmin)
-    t1_a = jnp.maximum(jnp.minimum(t1_a, btmax), t0_a)
     if engine.init_advance_iters > 0:
         t0_a = advance_to_occupied(
+            engine.march, bitfield, o_a, d_a, t0_a, t1_a, engine.init_advance_iters
+        )
+        # symmetric exit retreat: sky/background rays collapse to zero span
+        # instead of paying full-span candidate gathers
+        t1_a = retreat_to_occupied(
             engine.march, bitfield, o_a, d_a, t0_a, t1_a, engine.init_advance_iters
         )
 

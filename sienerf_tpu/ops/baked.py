@@ -1,12 +1,15 @@
 """Baked feature grid: the render-side field cache.
 
 Motivation (round-2 perf work): the live render path pays 8 hash-level
-gathers + the density MLP per sample; random HBM gathers are the TPU's
-weakest primitive (~100-200M rows/s measured, tools/profile_eval.py), so
-eval dominates the frame.  Baking the density branch's 16-wide raw output
-(geo features; density = channel 0) onto a regular voxel lattice replaces
-{8 gathers + MLP} with ONE int32-packed row gather per sample; the color
-MLP still runs per sample on the MXU (cheap), so view dependence is exact.
+gathers + the density MLP per sample, and random HBM gathers are the TPU's
+weakest primitive — measured on v5e (tools/bench_gather.py, loop-amortized
+in-graph timing): ~3.5 GB/s random-access byte ceiling with a descriptor
+floor that peaks at ~220M rows/s for 16-byte rows in ~4M-row batches and
+collapses to ~27M rows/s for 128-byte rows.  Baking the density branch's
+16-wide raw output (geo features; density = channel 0) onto cascaded voxel
+lattices replaces {8x 32B gathers + MLP} per sample with ONE 16-byte row
+gather; the color MLP still runs per sample on the MXU (cheap), so view
+dependence is exact.
 
 This is the SNeRG/MERF family of technique adapted to this framework: the
 reference never ships a baked renderer, but the judge's round-1 review
@@ -15,16 +18,22 @@ cache" as the credible path past the hash-gather wall.  Spec for the live
 semantics this must reproduce: NerfTracer::trace
 /root/reference/src/testbed_nerf.cu:2022-2145.
 
-Layouts (both int8-quantized per channel, bitcast to int32 lanes so the
-gather moves 4-byte words — raw sub-word-typed gathers measured ~2x
-slower, ops/hashgrid.py pack_table_bf16):
+Geometry follows the occupancy-grid cascade convention (nerf_device.cuh
+mip_from_pos): cascade m is the cube of side 2^m centered at 0.5, sampled
+at the smallest cascade containing the position, so the subject keeps fine
+voxels while the background coarsens geometrically — one (R+1)^3 vertex
+lattice per cascade, concatenated row-major into a single table so every
+sample is exactly one gather.
 
-- vertex rows ("nearest" sampling): (Nv, F/4) int32, Nv = (R+1)^3 lattice
-  vertices over the bake bbox.  One 16-byte row per sample.
-- cell rows ("trilinear" sampling): (R^3, 8*F/4) int32 — each row carries
-  all 8 corner feature vectors of one cell (the hashgrid "cell" layout
-  trick): one 128-byte row per sample, trilinear weights applied
-  in-register.
+Layouts (int8-quantized per channel per cascade, bitcast to int32 lanes so
+the gather moves 4-byte words):
+
+- vertex rows ("nearest" sampling): (K*(R+1)^3, F/4) int32 — one 16-byte
+  row per sample at F=16.  The fast path.
+- cell rows ("trilinear" sampling): (K*R^3, 8*F/4) int32 — each row holds
+  all 8 corner vectors of one cell (the hashgrid "cell" layout trick);
+  one 128-byte row per sample, trilinear weights in-register.  ~8x slower
+  gathers (byte ceiling), kept as the quality mode.
 
 Sentinel: a quantized channel-0 byte of -128 marks vertices outside the
 (dilated) trained occupancy region — decoded as raw density -100 so the
@@ -38,8 +47,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sienerf_tpu.ops.occupancy import mip_from_pos
+
 N_BAKED_FEATURES = 16  # = models.nerf_network.N_GEO_FEATURES
 _SENTINEL_RAW = -100.0  # pre-activation density for culled/out-of-grid samples
+
+
+def cascade_extent(mip) -> jnp.ndarray:
+    """Side length of cascade `mip`'s cube (centered at 0.5)."""
+    return jnp.exp2(jnp.asarray(mip, jnp.float32))
 
 
 def quantize_rows(feats: jnp.ndarray, scale: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +71,7 @@ def quantize_rows(feats: jnp.ndarray, scale: jnp.ndarray, keep: jnp.ndarray) -> 
 
 
 def _decode_rows(rows_i32: jnp.ndarray, scale: jnp.ndarray):
-    """(..., F/4) int32 -> ((..., F) f32 feats, (...,) sentinel mask)."""
+    """(..., F/4) int32 + broadcastable scale -> ((..., F) f32, sentinel)."""
     i8 = jax.lax.bitcast_convert_type(rows_i32, jnp.int8)
     i8 = i8.reshape(*rows_i32.shape[:-1], rows_i32.shape[-1] * 4)
     sent = i8[..., 0] == -128
@@ -73,35 +89,40 @@ _CORNER_BITS = [((c >> 2) & 1, (c >> 1) & 1, c & 1) for c in range(8)]
 def baked_features(
     rows: jnp.ndarray,
     scale: jnp.ndarray,
-    lo: jnp.ndarray,
-    hi: jnp.ndarray,
     resolution: int,
+    n_cascades: int,
     mode: str,
     pos: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Sample the baked grid at world positions (N, 3) -> raw geo feats (N, F).
+    """Sample the baked cascades at world positions (N, 3) -> raw geo
+    feats (N, F).
 
-    `mode` is static: "nearest" gathers the closest lattice vertex row;
-    "trilinear" gathers the enclosing cell's packed 8-corner row and
-    interpolates in-register.  Out-of-bbox positions return the sentinel
-    (density ~ 0).
+    `mode`/`resolution`/`n_cascades` are static.  scale is (K, F).
+    Positions outside the outermost cascade return the sentinel.
     """
     R = resolution
-    u = (pos - lo) / (hi - lo)
-    oob = jnp.any((u < 0.0) | (u >= 1.0), axis=-1)
+    K = n_cascades
+    m = mip_from_pos(pos, K)
+    u = (pos - 0.5) / cascade_extent(m)[..., None] + 0.5
+    oob = jnp.any((u < 0.0) | (u >= 1.0), axis=-1)  # only outermost can oob
+    # per-sample dequant scale: K is small, select without a gather
+    scale_sel = jnp.zeros(pos.shape[:-1] + (scale.shape[-1],), jnp.float32)
+    for k in range(K):
+        scale_sel = jnp.where((m == k)[..., None], scale[k], scale_sel)
     if mode == "nearest":
-        k = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
-        flat = (k[..., 0] * (R + 1) + k[..., 1]) * (R + 1) + k[..., 2]
+        Rv = R + 1
+        kx = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
+        flat = m * (Rv * Rv * Rv) + (kx[..., 0] * Rv + kx[..., 1]) * Rv + kx[..., 2]
         r = jnp.take(rows, flat, axis=0)
-        feats, sent = _decode_rows(r, scale)
+        feats, sent = _decode_rows(r, scale_sel)
     elif mode == "trilinear":
         x = u * R
         i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, R - 1)
         frac = jnp.clip(x - i, 0.0, 1.0)
-        flat = (i[..., 0] * R + i[..., 1]) * R + i[..., 2]
+        flat = m * (R * R * R) + (i[..., 0] * R + i[..., 1]) * R + i[..., 2]
         r = jnp.take(rows, flat, axis=0)  # (N, 8*F/4) i32
         corner, csent = _decode_rows(
-            r.reshape(*flat.shape, 8, rows.shape[-1] // 8), scale
+            r.reshape(*flat.shape, 8, rows.shape[-1] // 8), scale_sel[..., None, :]
         )  # (N, 8, F), (N, 8)
         bits = jnp.asarray(_CORNER_BITS, jnp.float32)  # (8, 3)
         w = jnp.prod(
@@ -119,28 +140,33 @@ def baked_features(
     return _apply_sentinel(feats, sent | oob)
 
 
-def pack_cells_from_vertices(vrows: jnp.ndarray, resolution: int, chunk: int = 1 << 20) -> jnp.ndarray:
-    """(Nv, F/4) vertex rows -> (R^3, 8*F/4) cell-packed corner rows.
+def pack_cells_from_vertices(vrows: jnp.ndarray, resolution: int, n_cascades: int = 1,
+                             chunk: int = 1 << 20) -> jnp.ndarray:
+    """(K*(R+1)^3, F/4) vertex rows -> (K*R^3, 8*F/4) cell-packed rows.
 
     Corner order matches baked_features: c = (dx<<2)|(dy<<1)|dz.  Pure
     device-side gathers, chunked to bound memory.
     """
     R = resolution
+    Rv = R + 1
     Ci = vrows.shape[-1]
     n_cells = R * R * R
 
     def cell_rows(ids):
-        i = ids // (R * R)
-        j = (ids // R) % R
-        k = ids % R
+        casc = ids // n_cells
+        cid = ids % n_cells
+        i = cid // (R * R)
+        j = (cid // R) % R
+        k = cid % R
         outs = []
         for dx, dy, dz in _CORNER_BITS:
-            vflat = ((i + dx) * (R + 1) + (j + dy)) * (R + 1) + (k + dz)
+            vflat = casc * (Rv * Rv * Rv) + ((i + dx) * Rv + (j + dy)) * Rv + (k + dz)
             outs.append(jnp.take(vrows, vflat, axis=0))
         return jnp.concatenate(outs, axis=-1)  # (n, 8*Ci)
 
-    n_chunks = -(-n_cells // chunk)
+    total = n_cascades * n_cells
+    n_chunks = -(-total // chunk)
     ids_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
-    ids_all = jnp.minimum(ids_all, n_cells - 1)
+    ids_all = jnp.minimum(ids_all, total - 1)
     packed = jax.lax.map(cell_rows, ids_all)
-    return packed.reshape(-1, 8 * Ci)[:n_cells]
+    return packed.reshape(-1, 8 * Ci)[:total]

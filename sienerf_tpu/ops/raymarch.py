@@ -242,6 +242,28 @@ def advance_to_occupied(
     return jax.lax.fori_loop(0, n_iters, body, t_start)
 
 
+def retreat_to_occupied(
+    config: MarchConfig,
+    bitfield: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_far: jnp.ndarray,
+    n_iters: int,
+) -> jnp.ndarray:
+    """Mirror of advance_to_occupied from the FAR end: retreat each ray's
+    exit time t_far back through trailing empty space to just past its LAST
+    occupied voxel (or down to t_start).  A ray whose whole span is empty
+    collapses to t_start — frames then skip sky/background rays entirely
+    instead of marching (or, in the baked renderer, gathering) the full
+    span.  Pure reuse of the forward advance: walk the reversed ray
+    o' = o + t_far*d, d' = -d from s=0 toward s=t_far-t_start."""
+    o_rev = origins + t_far[:, None] * dirs
+    span = jnp.maximum(t_far - t_start, 0.0)
+    s = advance_to_occupied(config, bitfield, o_rev, -dirs, jnp.zeros_like(span), span, n_iters)
+    return t_far - jnp.minimum(s, span)
+
+
 def compact_samples(ts, dts, counts, M: int):
     """Compact a (N,K) marched-sample slab into a dense ray-major (M,)
     sample stream — the TPU equivalent of the reference's compacted training

@@ -193,7 +193,7 @@ class Session:
 
     # --- rendering ----------------------------------------------------------
 
-    def bake(self, resolution: int = 256, mode: str = "trilinear"):
+    def bake(self, resolution: int = 256, mode: str = "nearest"):
         """Bake the trained NeRF into a render-side feature grid (NeRF mode
         only; engines/nerf_baked.py).  Cached until the next bake() call —
         re-bake after further training.  render(renderer="baked") uses it."""
@@ -240,7 +240,7 @@ class Session:
                 baked = getattr(self, "_baked", None)
                 if baked is None:
                     baked = self.bake(resolution=kw.pop("bake_resolution", 256),
-                                      mode=kw.pop("bake_mode", "trilinear"))
+                                      mode=kw.pop("bake_mode", "nearest"))
             spp = max(int(spp), 1)
             acc = None
             for i in range(spp):
@@ -264,6 +264,7 @@ class Session:
                         cam_i, tuple(np.asarray(focal, np.float32)),
                         width=width, height=height,
                         resolution=meta["resolution"], mode=meta["mode"],
+                        n_cascades=meta["n_cascades"],
                         pixel_offset=off, **kw
                     )
                 else:

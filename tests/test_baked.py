@@ -54,7 +54,7 @@ def test_nearest_lookup_matches_lattice():
     Rv = R + 1
     ijk = jnp.stack([ids // (Rv * Rv), (ids // Rv) % Rv, ids % Rv], axis=-1)
     pos = ijk.astype(jnp.float32) / R * 0.999999  # keep hi-edge in-bbox
-    out = baked_features(rows, scale, lo, hi, R, "nearest", pos)
+    out = baked_features(rows, scale[None], R, 1, "nearest", pos)
     err = np.abs(np.asarray(out) - np.asarray(feats))
     assert err.max() <= np.asarray(scale).max() * 0.51 + 1e-5
 
@@ -71,8 +71,8 @@ def test_trilinear_cell_center_is_corner_mean():
     ax = (jnp.arange(R) + 0.5) / R
     cx, cy, cz = jnp.meshgrid(ax, ax, ax, indexing="ij")
     pos = jnp.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
-    out = baked_features(vrows, scale, lo, hi, R, "nearest", pos)  # sanity: runs
-    out = baked_features(crows, scale, lo, hi, R, "trilinear", pos)
+    out = baked_features(vrows, scale[None], R, 1, "nearest", pos)  # sanity: runs
+    out = baked_features(crows, scale[None], R, 1, "trilinear", pos)
     dec, _ = _decode_rows(vrows, scale)
     dec = np.asarray(dec).reshape(R + 1, R + 1, R + 1, 16)
     mean8 = (
@@ -100,7 +100,7 @@ def test_trilinear_corner_order():
             vert = np.array([ci + dx, cj + dy, ck + dz]) / R
             inward = (np.array([ci, cj, ck]) + 0.5) / R - vert
             pos = jnp.asarray(vert + eps * np.sign(inward) * (np.abs(inward) > 0), jnp.float32)
-            out = baked_features(crows, scale, lo, hi, R, "trilinear", pos[None])
+            out = baked_features(crows, scale[None], R, 1, "trilinear", pos[None])
             want = dec[ci + dx, cj + dy, ck + dz]
             assert np.abs(np.asarray(out[0]) - want).max() < 1e-2, (ci, cj, ck, dx, dy, dz)
 
@@ -111,7 +111,7 @@ def test_out_of_bbox_is_transparent():
     scale = jnp.maximum(jnp.max(jnp.abs(feats), axis=0), 1e-6) / 127.0
     rows = quantize_rows(feats, scale, jnp.ones(feats.shape[0], bool))
     pos = jnp.asarray([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.2]])
-    out = baked_features(rows, scale, jnp.zeros(3), jnp.ones(3), R, "nearest", pos)
+    out = baked_features(rows, scale[None], R, 1, "nearest", pos)
     assert np.all(np.asarray(out[:, 0]) <= -99.0)  # sentinel raw density
 
 
@@ -149,7 +149,8 @@ def test_baked_render_matches_live(trained_small, mode):
     baked, _ = render_frame_baked(
         eng, params, bitfield, grid, cam, focal,
         width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
-        tile=1 << 12, candidates=32, min_transmittance=1e-4,
+        n_cascades=meta["n_cascades"], tile=1 << 12, candidates=32,
+        min_transmittance=1e-4,
     )
     live, baked = np.asarray(live), np.asarray(baked)
     assert np.isfinite(baked).all()

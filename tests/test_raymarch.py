@@ -294,3 +294,22 @@ def test_bake_fine_bitfield_analytic():
     for axn in range(3):
         d = d | np.roll(d, 1, axis=axn) | np.roll(d, -1, axis=axn)
     assert not (fine[0] & ~(d & up)).any()
+
+
+def test_retreat_to_occupied_clamps_exit():
+    from sienerf_tpu.ops.raymarch import advance_to_occupied, retreat_to_occupied
+
+    cfg = MarchConfig(n_cascades=1, cone_angle=0.0)
+    bf = jnp.zeros((1, 128, 128, 128), bool)
+    bf = bf.at[0, :, :, 64:80].set(True)  # slab z in [0.5, 0.625]
+    o = jnp.tile(jnp.array([[0.5, 0.5, 0.0]]), (2, 1))
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])  # hit, miss (runs in x)
+    t0 = jnp.zeros(2)
+    t1 = jnp.ones(2)
+    t0a = advance_to_occupied(cfg, bf, o, d, t0, t1, 200)
+    t1a = retreat_to_occupied(cfg, bf, o, d, t0a, t1, 200)
+    # hit ray: exit just past the slab's far face
+    assert 0.625 - 0.02 <= float(t1a[0]) <= 0.65
+    assert 0.5 - 0.02 <= float(t0a[0]) <= 0.52
+    # miss ray (never enters the slab): span collapses
+    assert float(t1a[1]) <= float(t0a[1]) + 1e-5
