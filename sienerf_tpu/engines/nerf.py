@@ -998,7 +998,11 @@ class NerfEngine:
     def _render_params(self, params):
         """Swap in a packed hash table for forward-only rendering."""
         pack = self.render_table_pack
-        if pack in ("bf16", "fp8") and self.net.grid.layout == "cell":
+        if (
+            pack in ("bf16", "fp8")
+            and self.net.pos_otype == "grid"
+            and self.net.grid.layout == "cell"
+        ):
             p = dict(params)
             if pack == "fp8":
                 from sienerf_tpu.ops.hashgrid import pack_table_fp8
