@@ -80,6 +80,7 @@ class SdfEngine:
     stop_threshold: float = 1e-4
     shadow_k: float = 8.0
     floor_y: float = -1e9  # disabled unless set
+    normals_mode: str = "analytic"  # "analytic" (autodiff) | "fd" (6-tap)
 
     @staticmethod
     def create(network_config: dict, triangles: np.ndarray, batch_size: int = 1 << 16) -> "SdfEngine":
@@ -291,9 +292,33 @@ class SdfEngine:
     def _normals(self, params, pos, tables=None):
         """Analytic normals: autodiff input gradient of the SDF network
         (reference FiniteDifferenceNormalsApproximator is the fallback)."""
+        if self.normals_mode == "fd":
+            return self._normals_fd(params, pos, tables)
         g = jax.vmap(jax.grad(lambda p: apply_single_network(self.net, params, p[None], tables)[0, 0]))(pos)
         n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         return n
+
+    def _normals_fd(self, params, pos, tables=None, eps: float = 1e-3):
+        """6-tap central-difference normals (reference
+        FiniteDifferenceNormalsApproximator, testbed.h:425-444 /
+        testbed_sdf.cu:823-878): one batched eval of all +-eps taps.  Works
+        on packed (bf16) tables where autodiff can't, and matches the
+        reference's default normal estimator for hash encodings whose
+        analytic gradient is noisy at cell boundaries.
+
+        The taps run the MLP in fp32: the default bf16 input cast quantizes
+        positions to ~2e-3 ULPs, which would fold any eps below that into
+        pure rounding noise."""
+        from sienerf_tpu.models.single_network import encode_input
+        from sienerf_tpu.ops.mlp import mlp_apply
+
+        offs = jnp.concatenate([jnp.eye(3) * eps, -jnp.eye(3) * eps])  # (6,3)
+        taps = (pos[:, None, :] + offs[None]).reshape(-1, 3)
+        feats = encode_input(self.net, params, taps, tables)
+        d = mlp_apply(self.net.mlp, params["mlp"], feats, compute_dtype=jnp.float32)
+        d = d[:, 0].reshape(-1, 6)
+        g = (d[:, :3] - d[:, 3:]) / (2.0 * eps)
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
 
     def render_frame(self, params, unused_opt, width, height, camera_matrix, ground_truth=False, render_mode="shade", **kw):
         geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals, "tak": self.tak_tables}

@@ -212,13 +212,17 @@ def bvh_raytrace(
         process_leaf = box_hit & is_leaf
         hit = hit & tid_valid & process_leaf[:, None] & (t < best_t[:, None]) & (t < t_max[:, None])
         t_masked = jnp.where(hit, t, jnp.inf)
+        # min-select via one-hot reduction: take_along_axis with per-row
+        # minor indices serializes on TPU (ops/raymarch.py composite_chunk)
         j = jnp.argmin(t_masked, axis=-1)
-        tj = jnp.take_along_axis(t_masked, j[:, None], axis=1)[:, 0]
+        oh = jnp.arange(t_masked.shape[1], dtype=jnp.int32)[None, :] == j[:, None]
+        tj = jnp.min(t_masked, axis=-1)
         better = tj < best_t
         best_t = jnp.where(better, tj, best_t)
-        best_id = jnp.where(better, jnp.take_along_axis(tid_c, j[:, None], axis=1)[:, 0], best_id)
-        best_u = jnp.where(better, jnp.take_along_axis(u, j[:, None], axis=1)[:, 0], best_u)
-        best_v = jnp.where(better, jnp.take_along_axis(v, j[:, None], axis=1)[:, 0], best_v)
+        sel_i = lambda x: jnp.sum(jnp.where(oh, x, 0), axis=1)
+        best_id = jnp.where(better, sel_i(tid_c), best_id)
+        best_u = jnp.where(better, sel_i(u), best_u)
+        best_v = jnp.where(better, sel_i(v), best_v)
         # next node: descend into interior on hit, otherwise skip
         skip = jnp.take(bvh["skip"], ni)
         descend = box_hit & ~is_leaf
@@ -375,12 +379,14 @@ def bvh_closest_point(
         cp = closest_on_tri(points, a, ab, ac)
         d2 = jnp.sum((points[:, None, :] - cp) ** 2, axis=-1)
         d2 = jnp.where(tid_valid & (enter & is_leaf)[:, None], d2, jnp.inf)
+        # one-hot min-select (see ray_trace note on take_along_axis)
         j = jnp.argmin(d2, axis=-1)
-        dj = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        oh = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :] == j[:, None]
+        dj = jnp.min(d2, axis=-1)
         better = dj < best_d2
         best_d2 = jnp.where(better, dj, best_d2)
-        best_id = jnp.where(better, jnp.take_along_axis(tid_c, j[:, None], axis=1)[:, 0], best_id)
-        pj = jnp.take_along_axis(cp, j[:, None, None], axis=1)[:, 0]
+        best_id = jnp.where(better, jnp.sum(jnp.where(oh, tid_c, 0), axis=1), best_id)
+        pj = jnp.sum(jnp.where(oh[..., None], cp, 0.0), axis=1)
         best_p = jnp.where(better[:, None], pj, best_p)
         skip = jnp.take(bvh["skip"], ni)
         descend = enter & ~is_leaf

@@ -102,7 +102,8 @@ def triangle_areas(triangles: np.ndarray) -> np.ndarray:
     return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
 
-def save_obj(path: str | Path, vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray | None = None) -> None:
+def save_obj(path: str | Path, vertices: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray | None = None, normals: np.ndarray | None = None) -> None:
     with open(path, "w") as f:
         for i, v in enumerate(vertices):
             if colors is not None:
@@ -110,23 +111,38 @@ def save_obj(path: str | Path, vertices: np.ndarray, faces: np.ndarray, colors: 
                 f.write(f"v {v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
             else:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        if normals is not None:
+            for vn in normals:
+                f.write(f"vn {vn[0]} {vn[1]} {vn[2]}\n")
         for tri in faces:
-            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+            if normals is not None:
+                f.write(f"f {tri[0] + 1}//{tri[0] + 1} {tri[1] + 1}//{tri[1] + 1} {tri[2] + 1}//{tri[2] + 1}\n")
+            else:
+                f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
 
 
-def save_ply(path: str | Path, vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray | None = None) -> None:
+def save_ply(path: str | Path, vertices: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray | None = None, normals: np.ndarray | None = None) -> None:
     n_v, n_f = len(vertices), len(faces)
     with open(path, "wb") as f:
         hdr = ["ply", "format binary_little_endian 1.0", f"element vertex {n_v}",
                "property float x", "property float y", "property float z"]
+        if normals is not None:
+            hdr += ["property float nx", "property float ny", "property float nz"]
         if colors is not None:
             hdr += ["property uchar red", "property uchar green", "property uchar blue"]
         hdr += [f"element face {n_f}", "property list uchar int vertex_indices", "end_header"]
         f.write(("\n".join(hdr) + "\n").encode())
-        if colors is not None:
-            cb = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
-            for v, c in zip(vertices.astype(np.float32), cb):
-                f.write(v.tobytes() + c.tobytes())
+        if colors is not None or normals is not None:
+            cb = (np.clip(colors, 0, 1) * 255).astype(np.uint8) if colors is not None else None
+            nf = normals.astype(np.float32) if normals is not None else None
+            for i, v in enumerate(vertices.astype(np.float32)):
+                row = v.tobytes()
+                if nf is not None:
+                    row += nf[i].tobytes()
+                if cb is not None:
+                    row += cb[i].tobytes()
+                f.write(row)
         else:
             f.write(vertices.astype(np.float32).tobytes())
         counts = np.full((n_f, 1), 3, np.uint8)

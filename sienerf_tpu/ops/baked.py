@@ -86,6 +86,68 @@ def _apply_sentinel(feats: jnp.ndarray, sent: jnp.ndarray) -> jnp.ndarray:
 _CORNER_BITS = [((c >> 2) & 1, (c >> 1) & 1, c & 1) for c in range(8)]
 
 
+def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
+    """World positions -> (flat nearest-vertex id, oob mask, cascade).
+
+    Shared by the feature lookup and the packed-bit candidate cull so both
+    agree exactly on which vertex a sample reads."""
+    R = resolution
+    Rv = R + 1
+    m = mip_from_pos(pos, n_cascades)
+    u = (pos - 0.5) / cascade_extent(m)[..., None] + 0.5
+    oob = jnp.any((u < 0.0) | (u >= 1.0), axis=-1)
+    kx = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
+    flat = m * (Rv * Rv * Rv) + (kx[..., 0] * Rv + kx[..., 1]) * Rv + kx[..., 2]
+    return flat, oob, m
+
+
+def pack_bits(keep: jnp.ndarray) -> jnp.ndarray:
+    """(N,) bool -> (ceil(N/32),) uint32, bit i of word w = flat id w*32+i.
+
+    The packed occupancy sidecar of the baked table: 32x smaller than a
+    byte mask (~6 MB at 3x257^3), which keeps its gathers in the fast
+    near-core regime (~340M rows/s measured vs ~91M for the feature table;
+    tools/bench_baked_gather.py)."""
+    n = keep.shape[0]
+    pad = (-n) % 32
+    k = jnp.pad(keep, (0, pad)).reshape(-1, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(jnp.where(k, weights, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+
+
+def lookup_bits(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Packed-bit test: flat vertex ids -> bool."""
+    w = jnp.take(words, flat >> 5, axis=0)
+    return ((w >> (flat & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+
+def cull_candidates(
+    words: jnp.ndarray, resolution: int, n_cascades: int, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """True where the nearest baked vertex carries live density."""
+    flat, oob, _ = nearest_vertex_ids(resolution, n_cascades, pos)
+    return lookup_bits(words, flat) & ~oob
+
+
+def compact_candidates(keep: jnp.ndarray, n_keep: int, *arrays):
+    """Stable-compact per-ray candidates: (A, P) keep-mask + per-candidate
+    arrays -> the first `n_keep` kept columns of each array (dropped and
+    padded slots return keep=False rows).
+
+    One multi-operand lax.sort along the candidate axis (kept-first, stable
+    in t order) — take_along_axis-style per-lane gathers serialize on TPU,
+    a width-P sort network does not."""
+    A, P = keep.shape
+    j = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (A, P))
+    key = jnp.where(keep, j, j + P)  # kept columns sort first, order kept
+    sorted_ops = jax.lax.sort(
+        (key,) + tuple(arrays), dimension=1, num_keys=1, is_stable=False
+    )
+    out = tuple(op[:, :n_keep] for op in sorted_ops[1:])
+    kept = sorted_ops[0][:, :n_keep] < P
+    return (kept,) + out
+
+
 def baked_features(
     rows: jnp.ndarray,
     scale: jnp.ndarray,
@@ -110,9 +172,7 @@ def baked_features(
     for k in range(K):
         scale_sel = jnp.where((m == k)[..., None], scale[k], scale_sel)
     if mode == "nearest":
-        Rv = R + 1
-        kx = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
-        flat = m * (Rv * Rv * Rv) + (kx[..., 0] * Rv + kx[..., 1]) * Rv + kx[..., 2]
+        flat, oob, _ = nearest_vertex_ids(R, K, pos)
         r = jnp.take(rows, flat, axis=0)
         feats, sent = _decode_rows(r, scale_sel)
     elif mode == "trilinear":

@@ -131,7 +131,10 @@ def march_rays(
         # next t: candidate m (or the end point when the full span emitted);
         # add a voxel skip only when the run ended at an unoccupied
         # in-range candidate (not when blocked by K or t_far)
-        t_next = jnp.take_along_axis(t_stack, m[:, None], axis=1)[:, 0]
+        # one-hot select (take_along_axis on the minor axis serializes, see
+        # composite_chunk note)
+        oh_m = jnp.arange(t_stack.shape[1], dtype=jnp.int32)[None, :] == m[:, None]
+        t_next = jnp.sum(jnp.where(oh_m, t_stack, 0.0), axis=1)
         do_skip = ray_active & (m == n_lead) & (n_lead < S)
         pos_m = origins + t_next[:, None] * dirs
         dt_m = calc_dt(t_next, config.cone_angle)
@@ -370,7 +373,12 @@ def composite_chunk(
     opacity = jnp.sum(w, axis=1)
     T_out = T_in * jnp.prod(jnp.where(live, one_minus, 1.0), axis=1)
     T_out = jnp.where(T_out < min_transmittance, 0.0, T_out)
+    # max-weight sample via a one-hot reduction: take_along_axis with a
+    # per-row minor-axis index lowers to a serialized per-row gather on TPU
+    # (~100x; same class as NOTES_ROUND1 fact 3), a broadcast compare+sum
+    # stays fully vectorized
     best = jnp.argmax(w, axis=1)
-    best_w = jnp.take_along_axis(w, best[:, None], axis=1)[:, 0]
-    best_t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
+    onehot = jnp.arange(w.shape[1], dtype=jnp.int32)[None, :] == best[:, None]
+    best_w = jnp.max(w, axis=1)
+    best_t = jnp.sum(jnp.where(onehot, ts, 0.0), axis=1)
     return rgb_sum, opacity, T_out, best_w, best_t

@@ -366,10 +366,17 @@ class Session:
 
     # --- mesh export ----------------------------------------------------------
 
-    def save_mesh(self, path: str | Path, resolution: int = 256, thresh: float = 2.5):
-        """Marching-cubes-equivalent export (reference --save_mesh)."""
-        from sienerf_tpu.ops.meshing import extract_mesh
+    def save_mesh(self, path: str | Path, resolution: int = 256, thresh: float = 2.5,
+                  with_colors: bool = True):
+        """Marching-cubes-equivalent export (reference --save_mesh,
+        marching_cubes.cu).  NeRF meshes carry per-vertex colors: the color
+        branch evaluated looking along the inward surface normal (the
+        reference's compute_mesh_vertex_colors convention) — normals from a
+        6-tap central difference of the density field."""
+        import jax.numpy as jnp
+
         from sienerf_tpu.geom.mesh_io import save_obj, save_ply
+        from sienerf_tpu.ops.meshing import extract_mesh
         from sienerf_tpu.ops.optim import inference_params
 
         params = inference_params(self.state["opt"], self.state["params"])
@@ -385,10 +392,38 @@ class Session:
             amin, adiag = np.zeros(3, np.float32), np.ones(3, np.float32)
         else:
             raise RuntimeError(f"mesh export unsupported for mode {self.mode}")
-        verts, faces, _ = extract_mesh(dfn, resolution, amin, adiag, iso=iso)
+
+        color_fn = None
+        if with_colors and self.mode == TestbedMode.NERF:
+            from sienerf_tpu.models.nerf_network import apply_rgb_activation, nerf_apply
+
+            amin_j = jnp.asarray(amin, jnp.float32)
+            adiag_j = jnp.asarray(adiag, jnp.float32)
+            eng = self.engine
+
+            def color_fn(world):
+                unit = jnp.clip((world - amin_j) / adiag_j, 0.0, 1.0)
+                eps = 1.0 / resolution
+                offs = jnp.concatenate([jnp.eye(3) * eps, -jnp.eye(3) * eps])
+                taps = jnp.clip(unit[:, None, :] + offs[None], 0.0, 1.0)
+                d6 = dfn(taps.reshape(-1, 3)).reshape(-1, 6)
+                g = d6[:, :3] - d6[:, 3:]
+                nrm = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+                view = nrm  # look along the inward normal (density increases inward)
+                rgb_raw, _ = nerf_apply(eng.net, params, unit, (view + 1.0) * 0.5)
+                rgb = apply_rgb_activation(rgb_raw, eng.net.rgb_activation)
+                return jnp.concatenate([rgb, -nrm], axis=-1)  # colors + outward normals
+
+        verts, faces, cn = extract_mesh(dfn, resolution, amin, adiag, iso=iso, color_fn=color_fn)
+        colors = normals = None
+        if cn is not None:
+            colors, normals = cn[:, :3], cn[:, 3:]
         if str(path).endswith(".ply"):
-            save_ply(path, verts, faces)
+            save_ply(path, verts, faces, colors, normals)
         else:
-            save_obj(path, verts, faces)
-        log.success(f"saved mesh {path}: {len(verts)} verts, {len(faces)} faces")
+            save_obj(path, verts, faces, colors, normals)
+        log.success(
+            f"saved mesh {path}: {len(verts)} verts, {len(faces)} faces"
+            + (", with colors+normals" if colors is not None else "")
+        )
         return verts, faces

@@ -10,6 +10,11 @@ import pytest
 from sienerf_tpu.ops.baked import (
     _decode_rows,
     baked_features,
+    compact_candidates,
+    cull_candidates,
+    lookup_bits,
+    nearest_vertex_ids,
+    pack_bits,
     pack_cells_from_vertices,
     quantize_rows,
 )
@@ -29,6 +34,46 @@ def test_quantize_roundtrip_and_sentinel():
     kept = np.asarray(keep)
     err = np.abs(np.asarray(dec)[kept] - np.asarray(feats)[kept])
     assert err.max() <= np.asarray(scale).max() * 0.51 + 1e-6
+
+
+def test_pack_lookup_bits_roundtrip():
+    key = jax.random.PRNGKey(3)
+    keep = jax.random.bernoulli(key, 0.3, (1000,))
+    words = pack_bits(keep)
+    assert words.shape == (-(-1000 // 32),) and words.dtype == jnp.uint32
+    got = lookup_bits(words, jnp.arange(1000, dtype=jnp.int32))
+    assert np.array_equal(np.asarray(got), np.asarray(keep))
+
+
+def test_cull_matches_nearest_vertex():
+    R, K = 8, 2
+    n_vert = K * (R + 1) ** 3
+    key = jax.random.PRNGKey(4)
+    keep = jax.random.bernoulli(key, 0.5, (n_vert,))
+    words = pack_bits(keep)
+    pos = jax.random.uniform(jax.random.PRNGKey(5), (500, 3), minval=-0.4, maxval=1.4)
+    flat, oob, _ = nearest_vertex_ids(R, K, pos)
+    want = np.asarray(jnp.take(keep, flat)) & ~np.asarray(oob)
+    got = np.asarray(cull_candidates(words, R, K, pos))
+    assert np.array_equal(got, want)
+
+
+def test_compact_candidates_stable_prefix():
+    keep = jnp.asarray(
+        [[0, 1, 0, 1, 1, 0, 1, 0], [1, 1, 1, 1, 1, 1, 1, 1], [0, 0, 0, 0, 0, 0, 0, 0]],
+        bool,
+    )
+    ts = jnp.arange(24, dtype=jnp.float32).reshape(3, 8)
+    dts = ts * 10.0
+    kept, ts_c, dts_c = compact_candidates(keep, 3, ts, dts)
+    # row 0: kept columns 1,3,4 (in t order) fill the prefix
+    assert np.allclose(np.asarray(ts_c[0]), [1.0, 3.0, 4.0])
+    assert np.allclose(np.asarray(dts_c[0]), [10.0, 30.0, 40.0])
+    assert np.asarray(kept[0]).all()
+    # row 1: more survivors than slots -> first 3, all kept
+    assert np.allclose(np.asarray(ts_c[1]), [8.0, 9.0, 10.0])
+    # row 2: nothing kept
+    assert not np.asarray(kept[2]).any()
 
 
 def _lattice_field(R):
@@ -132,6 +177,7 @@ def trained_small():
 
 
 @pytest.mark.parametrize("mode", ["trilinear", "nearest"])
+@pytest.mark.slow
 def test_baked_render_matches_live(trained_small, mode):
     from sienerf_tpu.engines.nerf_baked import render_frame_baked
     from sienerf_tpu.ops.optim import inference_params

@@ -43,6 +43,7 @@ def test_mesh_frame_renders(mesh_scene):
     assert rgba[hit].std() > 0.01
 
 
+@pytest.mark.slow
 def test_hybrid_mesh_nerf_composition():
     from test_nerf_mode import make_dataset, tiny_config
 
@@ -124,6 +125,7 @@ def test_irradiance_directional_envmap():
     assert float(e_up[0, 0]) > 3 * float(e_down[0, 0])
 
 
+@pytest.mark.slow
 def test_probe_grid_on_trained_nerf():
     from test_nerf_mode import make_dataset, tiny_config
 

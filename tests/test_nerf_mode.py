@@ -105,12 +105,14 @@ def trained():
     return eng, state, losses, ds
 
 
+@pytest.mark.slow
 def test_nerf_training_loss_decreases(trained):
     eng, state, losses, ds = trained
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.45, losses
 
 
+@pytest.mark.slow
 def test_nerf_occupancy_found_the_ball(trained):
     eng, state, losses, ds = trained
     bf = np.asarray(state["occ"]["bitfield"][0])
@@ -127,6 +129,7 @@ def test_nerf_occupancy_found_the_ball(trained):
     assert bf.mean() < 0.25
 
 
+@pytest.mark.slow
 def test_nerf_render_matches_gt(trained):
     eng, state, losses, ds = trained
     from sienerf_tpu.ops.optim import inference_params
@@ -135,6 +138,7 @@ def test_nerf_render_matches_gt(trained):
     assert psnr > 18.0, psnr
 
 
+@pytest.mark.slow
 def test_nerf_render_depth_sane(trained):
     eng, state, losses, ds = trained
     from sienerf_tpu.ops.optim import inference_params
@@ -178,6 +182,7 @@ def test_error_map_stays_ergodic():
     assert float(u.max()) > 0.8 and float(v.max()) > 0.8
 
 
+@pytest.mark.slow
 def test_camera_focal_exposure_optimization_runs():
     """Extrinsics/focal/exposure params receive gradients and stay finite."""
     from sienerf_tpu.engines.nerf import NerfEngine
@@ -206,6 +211,7 @@ def test_camera_focal_exposure_optimization_runs():
     assert moved > 0
 
 
+@pytest.mark.slow
 def test_dynamic_mask_rays_skipped():
     """Rays hitting dynamic-mask pixels (negative rgb sentinel) contribute
     nothing to the loss (reference testbed_nerf.cu:776-780)."""
@@ -229,6 +235,7 @@ def test_dynamic_mask_rays_skipped():
     assert np.isfinite(np.asarray(state["params"]["grid"])).all()
 
 
+@pytest.mark.slow
 def test_rolling_shutter_slerp():
     """camera_slerp endpoints + midpoints; rolling-shutter training runs."""
     from sienerf_tpu.engines.nerf import NerfEngine
@@ -262,6 +269,7 @@ def test_rolling_shutter_slerp():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_depth_supervision():
     """With GT depth supplied, the depth term pulls ray termination toward
     the target (reference depth_supervision_lambda path)."""
@@ -292,6 +300,7 @@ def test_depth_supervision():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_compact_training_adapts_ray_count():
     """Compact mode (default): rays march to completion and the ray count
     tracks measured samples/ray so compacted samples ~= the batch."""
@@ -318,6 +327,7 @@ def test_compact_training_adapts_ray_count():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_adaptive_ray_count_legacy():
     """Legacy NerfCounters feedback (compact_training=False): when rays
     march fewer samples than the k budget, the ray count grows toward the
@@ -443,6 +453,7 @@ def test_read_envmap_bilinear_and_vjp():
     assert cols.issubset({0, W - 1}), cols
 
 
+@pytest.mark.slow
 def test_nerf_render_modes():
     """render_frame(render_mode=...) parity with SDF mode's visualisation set
     (composite_kernel_nerf branches testbed_nerf.cu:688-702, Cost heatmap

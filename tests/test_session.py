@@ -46,6 +46,7 @@ def test_session_image_end_to_end(tmp_path):
     assert sess.loss < 0.1
 
 
+@pytest.mark.slow
 def test_snapshot_roundtrip(tmp_path):
     import jax
 
@@ -99,6 +100,20 @@ def test_mesh_export_from_sdf(tmp_path):
     save_ply(tmp_path / "m.ply", v, f)
     tri = load_obj(tmp_path / "m.obj")
     assert tri.shape == (len(f), 3, 3)
+
+    # colors + normals variants (reference marching_cubes.cu vertex colors)
+    colors = np.tile([0.2, 0.5, 0.9], (len(v), 1)).astype(np.float32)
+    normals = (v - 0.5) / np.linalg.norm(v - 0.5, axis=-1, keepdims=True)
+    save_obj(tmp_path / "mc.obj", v, f, colors, normals)
+    save_ply(tmp_path / "mc.ply", v, f, colors, normals)
+    obj_text = (tmp_path / "mc.obj").read_text()
+    assert "vn " in obj_text and "//" in obj_text
+    hdr = (tmp_path / "mc.ply").read_bytes()[:400].decode("latin1")
+    assert "property float nx" in hdr and "property uchar red" in hdr
+    # binary body size: 3*4 pos + 3*4 normal + 3 color bytes per vertex
+    body = (tmp_path / "mc.ply").read_bytes()
+    off = body.index(b"end_header\n") + len(b"end_header\n")
+    assert len(body) - off == len(v) * (12 + 12 + 3) + len(f) * (1 + 12)
 
 
 def test_metrics_protocol():
@@ -275,6 +290,7 @@ def test_reload_network_from_file(tmp_path):
     assert np.isfinite(tb.loss)
 
 
+@pytest.mark.slow
 def test_nerf_render_spp_accumulation(tmp_path):
     """Session.render(spp=N) averages N jittered samples (reference
     render_to_cpu spp loop + accumulate; VERDICT r1 Missing #3): the result

@@ -51,19 +51,27 @@ def main():
           f"zero_frac={(span<1e-6).mean():.3f}")
     print(f"t0: mean={np.asarray(t0a).mean():.3f}  cone={eng.march.cone_angle}")
 
-    # rounds needed per ray under the candidate chain (P=64)
-    P = 64
-    t = np.asarray(t0a).copy()
-    rounds = np.zeros(n, np.int32)
-    for r in range(64):
-        alive = t < np.asarray(t1a) - 1e-9
-        if not alive.any():
-            break
-        ts, dts, t_end = _candidate_chain(jnp.asarray(t), eng.march.cone_angle, P, 1.0)
-        t = np.where(alive, np.asarray(t_end), t)
-        rounds += alive
-    print(f"rounds@P=64: mean={rounds.mean():.2f} p90={np.percentile(rounds,90):.0f} "
-          f"max={rounds.max()}  (cap 24)")
+    # steps needed per ray under the candidate chain (closed form):
+    # uniform regime below t_star = dmin/cone, geometric above
+    from sienerf_tpu.common import MIN_CONE_STEPSIZE
+
+    dmin = MIN_CONE_STEPSIZE
+    c = eng.march.cone_angle
+    t0n, t1n = np.asarray(t0a), np.asarray(t1a)
+    if c > 0:
+        t_star = dmin / c
+        lo = np.minimum(np.maximum(t0n, 1e-6), t_star)
+        hi = np.maximum(t1n, lo)
+        steps = np.maximum(lo - t0n, 0.0) / dmin + np.log(
+            np.maximum(hi, t_star) / np.maximum(lo, 1e-6)
+        ) / np.log1p(c)
+    else:
+        steps = (t1n - t0n) / dmin
+    steps = np.where(t1n > t0n + 1e-9, steps, 0.0)
+    for P in (64, 128):
+        r = np.ceil(steps / P)
+        print(f"rounds@P={P}: mean={r.mean():.2f} p90={np.percentile(r,90):.0f} "
+              f"max={r.max():.0f}  (cap 24)  steps mean={steps.mean():.0f}")
 
     # field agreement on real sample positions of center rays
     sel = jnp.asarray(np.argsort(span)[-2000:])  # longest-span rays

@@ -52,11 +52,14 @@ def main():
     focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
     sc = tuple(np.asarray(eng.principal_points[0]))
 
+    evals = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+
     def baked():
         return render_frame_baked(
             eng, params, bitfield, grid, cam, focal, width=W, height=H,
             resolution=meta["resolution"], mode=meta["mode"],
-            candidates=P, step_scale=ss, screen_center=sc,
+            n_cascades=meta["n_cascades"],
+            candidates=P, evals=evals, step_scale=ss, screen_center=sc,
         )
 
     dt, (rgba_b, _) = time_frames(baked)

@@ -1,0 +1,86 @@
+"""Sweep the baked renderer's knobs on real TPU with telemetry.
+
+Prints per config: ms/frame, Mrays/s, rounds, ray-rounds, fine evals,
+overflow count, PSNR vs the ss=1 reference frame.
+
+Usage: FOX_CACHE=fox_4k.pkl python tools/sweep_baked.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.profile_render import get_state  # noqa: E402
+
+W, H = 1280, 720
+
+
+def main():
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state = get_state()
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    t0 = time.time()
+    grid, meta = eng.bake_features(params, state["occ"], resolution=256, mode="nearest")
+    float(jnp.asarray(grid["rows"][0, 0]))
+    bits_frac = float(jnp.mean(jnp.float32(jnp.unpackbits(
+        jnp.asarray(np.frombuffer(np.asarray(grid["bits"]).tobytes(), np.uint8))))))
+    print(f"# bake {time.time()-t0:.0f}s, live-bit fraction {bits_frac:.3f}")
+
+    cam = eng.xforms[0]
+    focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
+    sc = tuple(np.asarray(eng.principal_points[0]))
+
+    ref = None
+    cfgs = [
+        dict(candidates=128, evals=32, step_scale=1.0, advance_iters=16),
+        dict(candidates=128, evals=64, step_scale=1.0, advance_iters=16),
+        dict(candidates=128, evals=32, step_scale=2.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),
+        dict(candidates=128, evals=32, step_scale=2.0, advance_iters=0),
+        dict(candidates=128, evals=48, step_scale=2.0, advance_iters=16,
+             min_transmittance=0.05),
+    ]
+    for cfg in cfgs:
+        def run():
+            return render_frame_baked(
+                eng, params, bitfield, grid, cam, focal, width=W, height=H,
+                resolution=meta["resolution"], mode=meta["mode"],
+                n_cascades=meta["n_cascades"], screen_center=sc,
+                return_stats=True, **cfg,
+            )
+
+        rgba, _, st = run()
+        float(jnp.asarray(rgba[0, 0, 0]))  # compile+sync
+        t0 = time.time()
+        n = 2
+        for _ in range(n):
+            rgba, _, st = run()
+        float(jnp.asarray(rgba[0, 0, 0]))
+        dt = (time.time() - t0) / n
+        st = np.asarray(st)
+        img = np.asarray(rgba)[..., :3]
+        if ref is None:
+            ref = img
+            psnr = float("inf")
+        else:
+            mse = float(np.mean((img - ref) ** 2))
+            psnr = -10 * np.log10(max(mse, 1e-10))
+        tag = " ".join(f"{k}={v}" for k, v in cfg.items())
+        print(
+            f"{tag:70s} {dt*1e3:7.1f} ms  {W*H/dt/1e6:5.2f} Mr/s  "
+            f"rounds={st[0]:4d} rayrounds={st[1]/1e6:5.1f}M evals={st[2]/1e6:6.1f}M "
+            f"ovf={st[3]/1e6:4.1f}M  psnr_vs_ref={psnr:5.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
