@@ -251,13 +251,20 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
     ts, dts, t_end = _candidate_chain(t_in, engine.march.cone_angle, P, step_scale)
     valid = was_alive[:, None] & (ts < s["t1"][:, None])
     pos = s["o"][:, None, :] + ts[..., None] * s["d"][:, None, :]
-    keep = valid & cull_candidates(
-        grid["bits"], meta["resolution"], meta["n_cascades"], pos
-    )
-    kept, ts_c, dts_c = compact_candidates(keep, evals + 1, ts, dts)
-    overflow = kept[:, evals]
-    t_next = jnp.where(overflow, ts_c[:, evals], t_end)
-    kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
+    if evals >= P:
+        # no-cull path (evals >= candidates): every candidate pays the fine
+        # gather; also the A/B baseline for the compaction machinery
+        kept, ts_c, dts_c = valid, ts, dts
+        overflow = jnp.zeros(ts.shape[:1], bool)
+        t_next = t_end
+    else:
+        keep = valid & cull_candidates(
+            grid["bits"], meta["resolution"], meta["n_cascades"], pos
+        )
+        kept, ts_c, dts_c = compact_candidates(keep, evals + 1, ts, dts)
+        overflow = kept[:, evals]
+        t_next = jnp.where(overflow, ts_c[:, evals], t_end)
+        kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
     rgb, dens = _baked_sample_colors(
         engine, params, grid, meta, s["o"], s["d"], ts_c, kept
     )

@@ -176,9 +176,9 @@ def trained_small():
     return eng, state, ds
 
 
-@pytest.mark.parametrize("mode", ["trilinear", "nearest"])
+@pytest.mark.parametrize("mode,evals", [("trilinear", 32), ("nearest", 32), ("nearest", 8)])
 @pytest.mark.slow
-def test_baked_render_matches_live(trained_small, mode):
+def test_baked_render_matches_live(trained_small, mode, evals):
     from sienerf_tpu.engines.nerf_baked import render_frame_baked
     from sienerf_tpu.ops.optim import inference_params
 
@@ -195,7 +195,7 @@ def test_baked_render_matches_live(trained_small, mode):
     baked, _ = render_frame_baked(
         eng, params, bitfield, grid, cam, focal,
         width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
-        n_cascades=meta["n_cascades"], tile=1 << 12, candidates=32,
+        n_cascades=meta["n_cascades"], tile=1 << 12, candidates=32, evals=evals,
         min_transmittance=1e-4,
     )
     live, baked = np.asarray(live), np.asarray(baked)
