@@ -68,7 +68,15 @@ def main():
     ap.add_argument("--snapshot", default=None, help="resume/eval-only from this snapshot")
     ap.add_argument("--save_snapshot", default=None)
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (harness smoke; the axon "
+                    "site hook ignores JAX_PLATFORMS so set the config)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.scene == "synth":
         root = CACHE / "synth_bunny400"
