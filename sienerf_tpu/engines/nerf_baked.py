@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from sienerf_tpu.models.nerf_network import (
@@ -40,7 +41,9 @@ from sienerf_tpu.ops.baked import (
     baked_features,
     cascade_extent,
     compact_candidates,
-    cull_candidates,
+    lookup_bits,
+    merge_same_vertex_runs,
+    nearest_vertex_ids,
     pack_bits,
     pack_cells_from_vertices,
     quantize_rows,
@@ -258,9 +261,19 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
     else:
-        keep = valid & cull_candidates(
-            grid["bits"], meta["resolution"], meta["n_cascades"], pos
-        )
+        R, K = meta["resolution"], meta["n_cascades"]
+        flat, oob, _ = nearest_vertex_ids(R, K, pos)
+        keep = valid & ~oob & lookup_bits(grid["bits"], flat)
+        if meta["mode"] == "nearest":
+            # exact same-vertex run merge: the window bound covers the
+            # longest possible run (coarsest voxel pitch / smallest step)
+            from sienerf_tpu.common import MIN_CONE_STEPSIZE
+
+            bound = int(
+                np.ceil((2 ** (K - 1) / R) / (MIN_CONE_STEPSIZE * step_scale))
+            ) + 2
+            if bound < P:
+                keep, dts = merge_same_vertex_runs(flat, keep, dts, max_run=bound)
         kept, ts_c, dts_c = compact_candidates(keep, evals + 1, ts, dts)
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)

@@ -129,6 +129,41 @@ def cull_candidates(
     return lookup_bits(words, flat) & ~oob
 
 
+def merge_same_vertex_runs(
+    flat: jnp.ndarray, keep: jnp.ndarray, dts: jnp.ndarray, max_run: int = 12
+):
+    """Collapse consecutive candidates that read the SAME nearest vertex
+    into their head candidate with the run's dts summed.
+
+    Exact for nearest-mode sampling: samples in a run share density AND
+    color-MLP inputs, and emission-absorption over constant sigma/rgb
+    depends only on the total dt — so one sample with dt = sum(run dts)
+    contributes identically.  Candidate chains step at ~0.25-1x the voxel
+    pitch (dmin vs per-cascade cell size), so runs of 2-9 are the common
+    case and this cuts fine gathers + MLP evals by that factor for free.
+
+    Returns (head-mask (A,P), merged dts (A,P)).  `max_run` bounds the
+    unrolled absorption window; runs longer than it split (still exact,
+    just less merging).
+    """
+    eq = jnp.concatenate(
+        [jnp.zeros_like(keep[:, :1]), (flat[:, 1:] == flat[:, :-1]) & keep[:, 1:] & keep[:, :-1]],
+        axis=1,
+    )  # eq[j]: candidate j continues j-1's run
+    head = keep & ~eq
+
+    def shl(x, s):  # align x[:, j+s] at column j, pad with zeros
+        return jnp.concatenate([x[:, s:], jnp.zeros_like(x[:, :s])], axis=1)
+
+    # dt_acc[j] = dts[j] + sum_s (prod_{u=1..s} eq[j+u]) * dts[j+s]
+    dt_acc = dts
+    prod = None
+    for s in range(1, min(max_run, dts.shape[1])):
+        prod = shl(eq, s) if prod is None else prod & shl(eq, s)
+        dt_acc = dt_acc + jnp.where(prod, shl(dts, s), 0.0)
+    return head, dt_acc
+
+
 def compact_candidates(keep: jnp.ndarray, n_keep: int, *arrays):
     """Stable-compact per-ray candidates: (A, P) keep-mask + per-candidate
     arrays -> the first `n_keep` kept columns of each array (dropped and
