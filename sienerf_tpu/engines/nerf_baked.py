@@ -232,28 +232,26 @@ def _baked_alive(engine, s, max_rounds: int):
     )
 
 
-def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
-                 evals: int, step_scale: float, max_rounds: int, adv_iters: int):
-    """One streaming round: DDA-advance past empty space, P closed-form
-    candidates, packed-bit cull, stable compaction to `evals` survivors, one
-    feature gather per survivor, composite, flush finished rays, refill
-    slots (flush/refill shared with the live renderer,
-    NerfEngine._frame_flush_refill).
+def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
+                     alive, P: int, evals: int, step_scale: float, adv_iters: int):
+    """One bulk march/eval pass over a fixed ray set: DDA-advance past empty
+    space, P closed-form candidates, packed-bit cull, exact same-vertex run
+    merge, stable compaction to `evals` survivors, one feature gather per
+    survivor, composite.
 
-    The cull is what makes the round affordable: candidates probe a 6 MB
+    The cull is what makes the pass affordable: candidates probe a 6 MB
     packed bit table (~4x the gather rate of the 0.8 GB feature table), and
     only the ~evals/P fraction with live density pay the wide gather + color
     MLP.  A ray with more than `evals` survivors rolls its clock back to the
-    first dropped survivor so no dense sample is ever skipped."""
-    was_alive = _baked_alive(engine, s, max_rounds)
-    t_in = s["t"]
+    first dropped survivor so no dense sample is ever skipped.
+
+    Returns (rgb_add (A,3), opacity_add (A,), T_out (A,), t_next (A,),
+    best_w, best_t, n_kept (A,), overflow (A,))."""
     if adv_iters > 0:
-        t_in = advance_to_occupied(
-            engine.march, bitfield, s["o"], s["d"], t_in, s["t1"], adv_iters
-        )
-    ts, dts, t_end = _candidate_chain(t_in, engine.march.cone_angle, P, step_scale)
-    valid = was_alive[:, None] & (ts < s["t1"][:, None])
-    pos = s["o"][:, None, :] + ts[..., None] * s["d"][:, None, :]
+        t = advance_to_occupied(engine.march, bitfield, o, d, t, t1, adv_iters)
+    ts, dts, t_end = _candidate_chain(t, engine.march.cone_angle, P, step_scale)
+    valid = alive[:, None] & (ts < t1[:, None])
+    pos = o[:, None, :] + ts[..., None] * d[:, None, :]
     if evals >= P:
         # no-cull path (evals >= candidates): every candidate pays the fine
         # gather; also the A/B baseline for the compaction machinery
@@ -278,11 +276,71 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)
         kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
-    rgb, dens = _baked_sample_colors(
-        engine, params, grid, meta, s["o"], s["d"], ts_c, kept
-    )
+    rgb, dens = _baked_sample_colors(engine, params, grid, meta, o, d, ts_c, kept)
     rgb_sum, opacity, T_out, bw, bt = composite_chunk(
-        rgb, dens, ts_c, dts_c, kept, s["T"], s["minT"]
+        rgb, dens, ts_c, dts_c, kept, T, minT
+    )
+    n_kept = jnp.sum(kept, axis=1, dtype=jnp.int32)
+    return rgb_sum, opacity, T_out, t_next, bw, bt, n_kept, overflow
+
+
+def render_rays_baked(
+    engine, params, grid, meta, bitfield, o, d, t0, t1,
+    P: int = 128, evals: int = 32, step_scale: float = 1.0,
+    max_rounds: int = 24, adv_iters: int = 16, min_transmittance=None,
+):
+    """Fixed ray batch through the baked field -> (rgb (N,3), opacity (N,),
+    depth (N,)).  The masked-loop sibling of render_frame_baked (no pixel
+    streaming) — the unit the multichip shard_map and the foveated viewer
+    path consume."""
+    minT = jnp.asarray(
+        engine.render_min_transmittance if min_transmittance is None
+        else min_transmittance, jnp.float32,
+    )
+    A = o.shape[0]
+    state = dict(
+        t=t0, T=jnp.ones((A,), jnp.float32), rgb=jnp.zeros((A, 3), jnp.float32),
+        op=jnp.zeros((A,), jnp.float32), bw=jnp.zeros((A,), jnp.float32),
+        bt=jnp.zeros((A,), jnp.float32), rounds=jnp.asarray(0, jnp.int32),
+    )
+
+    def alive_of(s):
+        return (s["T"] >= minT) & (s["t"] < t1) & (s["rounds"] < max_rounds)
+
+    def cond(s):
+        return jnp.any(alive_of(s))
+
+    def body(s):
+        alive = alive_of(s)
+        rgb_sum, opacity, T_out, t_next, bw, bt, _, _ = _march_eval_once(
+            engine, params, grid, meta, bitfield, o, d, s["t"], t1, s["T"],
+            minT, alive, P, evals, step_scale, adv_iters,
+        )
+        better = alive & (bw > s["bw"])
+        return dict(
+            t=jnp.where(alive, t_next, s["t"]),
+            T=jnp.where(alive, T_out, s["T"]),
+            rgb=s["rgb"] + jnp.where(alive[:, None], rgb_sum, 0.0),
+            op=s["op"] + jnp.where(alive, opacity, 0.0),
+            bw=jnp.where(better, bw, s["bw"]),
+            bt=jnp.where(better, bt, s["bt"]),
+            rounds=s["rounds"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    dn = jnp.linalg.norm(d, axis=-1)
+    return s["rgb"], s["op"], s["bt"] / jnp.maximum(dn, 1e-9)
+
+
+def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
+                 evals: int, step_scale: float, max_rounds: int, adv_iters: int):
+    """One streaming round: bulk march/eval pass (_march_eval_once), then
+    flush finished rays + refill slots (shared with the live renderer,
+    NerfEngine._frame_flush_refill)."""
+    was_alive = _baked_alive(engine, s, max_rounds)
+    rgb_sum, opacity, T_out, t_next, bw, bt, n_kept, overflow = _march_eval_once(
+        engine, params, grid, meta, bitfield, s["o"], s["d"], s["t"], s["t1"],
+        s["T"], s["minT"], was_alive, P, evals, step_scale, adv_iters,
     )
     better = was_alive & (bw > s["bw"])
     s2 = {
@@ -294,12 +352,12 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
         "t": jnp.where(was_alive, t_next, s["t"]),
         "T": jnp.where(was_alive, T_out, s["T"]),
         "chunks": s["chunks"] + was_alive.astype(jnp.int32),
-        "used": s["used"] + jnp.sum(kept, axis=1, dtype=jnp.int32),
+        "used": s["used"] + n_kept,
         # frame-wide telemetry (scalars; ~free): rounds entered, rays
         # processed in them, fine evals paid, overflow rollbacks
         "n_rounds": s["n_rounds"] + 1,
         "n_ray_rounds": s["n_ray_rounds"] + jnp.sum(was_alive, dtype=jnp.int32),
-        "n_evals": s["n_evals"] + jnp.sum(kept, dtype=jnp.int32),
+        "n_evals": s["n_evals"] + jnp.sum(n_kept),
         "n_overflow": s["n_overflow"] + jnp.sum(overflow & was_alive, dtype=jnp.int32),
     }
     return engine._frame_flush_refill(
@@ -433,4 +491,71 @@ def render_frame_baked(
     )
     if return_stats:
         return rgba.reshape(height, width, 4), depth.reshape(height, width), stats
+    return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+
+def render_frame_baked_multichip(
+    engine, params, bitfield, grid, camera_matrix, focal_length, mesh,
+    *, width: int, height: int, resolution: int, mode: str, n_cascades: int = 1,
+    tile: int = 1 << 13, candidates: int = 128, evals: int = 32,
+    step_scale: float = 1.0, background=(0.0, 0.0, 0.0),
+    screen_center=(0.5, 0.5), min_transmittance=None,
+):
+    """Baked frame render with rays sharded over the `rays` mesh axis;
+    params, occupancy bitfield AND the baked grid replicated (the grid is
+    ~0.8 GB at R=256 x 3 cascades — well inside per-chip HBM, and
+    replication keeps every gather local to its chip's HBM: a sharded table
+    would turn each sample gather into an ICI all-to-all).  Same split as
+    the live render_frame_multichip (SURVEY.md §2.9)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from sienerf_tpu.utils.camera import uv_to_ray
+
+    meta = {"resolution": resolution, "mode": mode, "n_cascades": n_cascades}
+    ndev = mesh.devices.size
+    n = width * height
+    chunk = ndev * tile
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    px = (idx % width).astype(jnp.float32)
+    py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+    uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+    o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix,
+                     screen_center, engine.lens)
+    from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
+
+    bounds = occupied_bbox(bitfield)
+    btmin, btmax = ray_box_times(o, d, bounds[0], bounds[1])
+    t0 = jnp.maximum(btmin, 0.0)
+    t1 = jnp.maximum(btmax, t0)
+    o = o.reshape(ndev, -1, tile, 3)
+    d = d.reshape(ndev, -1, tile, 3)
+    t0 = t0.reshape(ndev, -1, tile)
+    t1 = t1.reshape(ndev, -1, tile)
+
+    def inner(params, bitfield, grid, oo, dd, tt0, tt1):
+        def body(_, args):
+            rgb, op, depth = render_rays_baked(
+                engine, params, grid, meta, bitfield, args[0], args[1],
+                args[2], args[3], P=candidates, evals=evals,
+                step_scale=step_scale, min_transmittance=min_transmittance,
+            )
+            return _, (rgb, op, depth)
+
+        _, out = jax.lax.scan(body, None, (oo[0], dd[0], tt0[0], tt1[0]))
+        return jax.tree.map(lambda x: x[None], out)
+
+    f = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=P("rays"), check_vma=False,
+    )
+    rgb, op, depth = f(params, bitfield, grid, o, d, t0, t1)
+    rgb = rgb.reshape(-1, 3)[:n]
+    op = op.reshape(-1)[:n]
+    depth = depth.reshape(-1)[:n]
+    bg = jnp.asarray(background, jnp.float32)
+    rgb = rgb + (1.0 - op)[:, None] * bg
+    rgba = jnp.concatenate([rgb, op[:, None]], axis=-1)
     return rgba.reshape(height, width, 4), depth.reshape(height, width)
