@@ -1154,6 +1154,83 @@ class NerfEngine:
         return s2
 
     @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
+    def render_views_multichip(
+        self,
+        params,
+        bitfield,
+        width: int,
+        height: int,
+        camera_matrices,  # (V, 3, 4)
+        focal_lengths,  # (V, 2)
+        mesh,
+        tile: int = 1 << 13,
+        background=(0.0, 0.0, 0.0),
+        screen_center=(0.5, 0.5),
+    ):
+        """Multi-view fan-out: render V views in ONE sharded dispatch.
+
+        The reference assigns whole views to aux GPUs (train_and_render
+        multi-view futures, testbed.cu:2964-3227 + CudaDevice).  On a TPU
+        mesh the better decomposition is to CONCATENATE all views' rays and
+        shard the combined stream over the `rays` axis: devices stay load-
+        balanced even when views differ in cost, and V doesn't need to
+        divide the device count.  Returns (V, H, W, 4) rgba + (V, H, W)
+        depth.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        params = self._render_params(params)
+        cams = jnp.asarray(camera_matrices, jnp.float32)
+        fls = jnp.asarray(focal_lengths, jnp.float32)
+        V = cams.shape[0]
+        ndev = mesh.devices.size
+        n = width * height
+        idx = jnp.arange(n, dtype=jnp.int32)
+        px = (idx % width).astype(jnp.float32)
+        py = (idx // width).astype(jnp.float32)
+        uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+
+        def rays_of(cam, fl):
+            return uv_to_ray(uv, (width, height), fl, cam, screen_center, self.lens)
+
+        o, d = jax.vmap(rays_of)(cams, fls)  # (V, n, 3)
+        o = o.reshape(V * n, 3)
+        d = d.reshape(V * n, 3)
+        chunk = ndev * tile
+        n_pad = ((V * n + chunk - 1) // chunk) * chunk
+        pad = n_pad - V * n
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))])
+        o = o.reshape(ndev, -1, tile, 3)
+        d = d.reshape(ndev, -1, tile, 3)
+
+        def inner(params, bitfield, oo, dd):
+            def body(_, od):
+                rgb, opacity, depth = self.render_rays(params, bitfield, od[0], od[1])
+                return _, (rgb, opacity, depth)
+
+            _, out = jax.lax.scan(body, None, (oo[0], dd[0]))
+            return jax.tree.map(lambda x: x[None], out)
+
+        f = shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P("rays"), P("rays")),
+            out_specs=P("rays"), check_vma=False,
+        )
+        rgb, opacity, depth = f(params, bitfield, o, d)
+        rgb = rgb.reshape(-1, 3)[: V * n]
+        opacity = opacity.reshape(-1)[: V * n]
+        depth = depth.reshape(-1)[: V * n]
+        bg = jnp.asarray(background, jnp.float32)
+        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+        return (
+            rgba.reshape(V, height, width, 4),
+            depth.reshape(V, height, width),
+        )
+
+    @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def render_frame_multichip(
         self,
         params,

@@ -113,3 +113,38 @@ def test_sharded_baked_render_matches_single_chip(setup):
     # the nearest-vertex picks — a ~37 dB effect, not a sharding error.
     mse = float(np.mean((a[..., :3] - b[..., :3]) ** 2))
     assert mse < 1e-3, mse
+
+
+@pytest.mark.slow
+def test_multi_view_fanout(setup):
+    """V views rendered in one sharded dispatch match per-view renders
+    (reference multi-view fan-out, testbed.cu:2964-3227 reimagined as one
+    concatenated sharded ray stream)."""
+    import jax.numpy as jnp
+
+    eng, ds = setup
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+    from sienerf_tpu.ops.optim import inference_params
+
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    mesh = make_ray_mesh(8)
+    res = 24
+    cams = jnp.asarray(ds.xforms[:3])
+    fls = jnp.asarray(ds.focal_lengths[:3])
+    rgba, depth = eng.render_views_multichip(
+        replicate(params, mesh), replicate(bitfield, mesh), res, res,
+        cams, fls, mesh, tile=64,
+    )
+    assert rgba.shape == (3, res, res, 4) and depth.shape == (3, res, res)
+    for v in range(3):
+        single, _ = eng.render_frame_multichip(
+            params, bitfield, res, res, ds.xforms[v],
+            tuple(np.asarray(ds.focal_lengths[v])), mesh, tile=64,
+        )
+        mse = float(np.mean((np.asarray(rgba[v]) - np.asarray(single)) ** 2))
+        assert mse < 1e-6, (v, mse)
