@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--load_snapshot", default=None)
     p.add_argument("--save_snapshot", default=None)
     p.add_argument("--screenshot", default=None, help="render a frame to this path after training")
+    p.add_argument("--renderer", default="live", choices=["live", "baked"],
+                   help="NeRF frame renderer: live march or baked feature grid")
     p.add_argument("--screenshot_w", type=int, default=800)
     p.add_argument("--screenshot_h", type=int, default=800)
     p.add_argument("--save_mesh", default=None)
@@ -137,7 +139,8 @@ def main(argv=None):
         cam = None
         if mode in (TestbedMode.SDF, TestbedMode.VOLUME, TestbedMode.GEOMETRY):
             cam = look_at_matrix([0.5, 0.6, -0.9], [0.5, 0.5, 0.5])
-        rgba = sess.render(args.screenshot_w, args.screenshot_h, camera_matrix=cam)
+        kw = {"renderer": args.renderer} if args.renderer != "live" else {}
+        rgba = sess.render(args.screenshot_w, args.screenshot_h, camera_matrix=cam, **kw)
         save_image(args.screenshot, np.asarray(rgba), input_is_linear=False)
         log.success(f"screenshot saved to {args.screenshot}")
 
