@@ -1153,6 +1153,62 @@ class NerfEngine:
         s2["cursor"] = s["cursor"] + jnp.sum(done.astype(jnp.int32))
         return s2
 
+    @staticmethod
+    def _sharded_ray_fanout(mesh, tile: int, o, d, ray_fn, consts):
+        """Shared multichip scaffold: pad a flat ray stream to an
+        ndev*tile multiple, shard it over the `rays` axis, lax.scan
+        `ray_fn(consts, o_tile, d_tile)` over each device's tiles, and
+        return flat (rgb, opacity, depth) truncated to the input length.
+        `consts` is a pytree replicated to every device (params, bitfield,
+        baked grid, ...)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n = o.shape[0]
+        chunk = ndev * tile
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        pad = n_pad - n
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), (pad, 3))]
+        )
+        o = o.reshape(ndev, -1, tile, 3)
+        d = d.reshape(ndev, -1, tile, 3)
+
+        def inner(consts, oo, dd):
+            def body(_, od):
+                return _, ray_fn(consts, od[0], od[1])
+
+            _, out = jax.lax.scan(body, None, (oo[0], dd[0]))
+            return jax.tree.map(lambda x: x[None], out)
+
+        f = shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P("rays"), P("rays")),
+            out_specs=P("rays"), check_vma=False,
+        )
+        rgb, opacity, depth = f(consts, o, d)
+        return (
+            rgb.reshape(-1, 3)[:n],
+            opacity.reshape(-1)[:n],
+            depth.reshape(-1)[:n],
+        )
+
+    @staticmethod
+    def _background_fill(rgb, opacity, dirs, params, background):
+        """Composite the unfilled transmittance over the trained envmap (if
+        any) or the constant background — the same epilogue as the
+        single-chip frame paths (testbed_nerf.cu:1428-1558 bg fill)."""
+        bg = jnp.asarray(background, jnp.float32)
+        if "envmap" in params:
+            from sienerf_tpu.ops.envmap import read_envmap
+
+            ev = read_envmap(params["envmap"], dirs)
+            bg_full = ev[:, :3] + bg[None, :] * (1.0 - ev[:, 3:4])
+            return rgb + (1.0 - opacity)[:, None] * bg_full
+        return rgb + (1.0 - opacity)[:, None] * bg
+
     @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
     def render_views_multichip(
         self,
@@ -1177,14 +1233,10 @@ class NerfEngine:
         divide the device count.  Returns (V, H, W, 4) rgba + (V, H, W)
         depth.
         """
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         params = self._render_params(params)
         cams = jnp.asarray(camera_matrices, jnp.float32)
         fls = jnp.asarray(focal_lengths, jnp.float32)
         V = cams.shape[0]
-        ndev = mesh.devices.size
         n = width * height
         idx = jnp.arange(n, dtype=jnp.int32)
         px = (idx % width).astype(jnp.float32)
@@ -1197,33 +1249,15 @@ class NerfEngine:
         o, d = jax.vmap(rays_of)(cams, fls)  # (V, n, 3)
         o = o.reshape(V * n, 3)
         d = d.reshape(V * n, 3)
-        chunk = ndev * tile
-        n_pad = ((V * n + chunk - 1) // chunk) * chunk
-        pad = n_pad - V * n
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-        d = jnp.concatenate([d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))])
-        o = o.reshape(ndev, -1, tile, 3)
-        d = d.reshape(ndev, -1, tile, 3)
 
-        def inner(params, bitfield, oo, dd):
-            def body(_, od):
-                rgb, opacity, depth = self.render_rays(params, bitfield, od[0], od[1])
-                return _, (rgb, opacity, depth)
+        def ray_fn(consts, oo, dd):
+            p, bf = consts
+            return self.render_rays(p, bf, oo, dd)
 
-            _, out = jax.lax.scan(body, None, (oo[0], dd[0]))
-            return jax.tree.map(lambda x: x[None], out)
-
-        f = shard_map(
-            inner, mesh=mesh,
-            in_specs=(P(), P(), P("rays"), P("rays")),
-            out_specs=P("rays"), check_vma=False,
+        rgb, opacity, depth = self._sharded_ray_fanout(
+            mesh, tile, o, d, ray_fn, (params, bitfield)
         )
-        rgb, opacity, depth = f(params, bitfield, o, d)
-        rgb = rgb.reshape(-1, 3)[: V * n]
-        opacity = opacity.reshape(-1)[: V * n]
-        depth = depth.reshape(-1)[: V * n]
-        bg = jnp.asarray(background, jnp.float32)
-        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        rgb = self._background_fill(rgb, opacity, d, params, background)
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return (
             rgba.reshape(V, height, width, 4),
@@ -1247,43 +1281,22 @@ class NerfEngine:
         """Frame render with rays sharded over the `rays` mesh axis; params
         and bitfield replicated (the TPU equivalent of the reference's
         multi-GPU render split, SURVEY.md §2.9)."""
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         params = self._render_params(params)
-        ndev = mesh.devices.size
         n = width * height
-        chunk = ndev * tile
-        n_pad = ((n + chunk - 1) // chunk) * chunk
-        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
         px = (idx % width).astype(jnp.float32)
-        py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+        py = (idx // width).astype(jnp.float32)
         uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
         o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix, screen_center, self.lens)
-        o = o.reshape(ndev, -1, tile, 3)
-        d = d.reshape(ndev, -1, tile, 3)
 
-        def inner(params, bitfield, oo, dd):
-            def body(_, od):
-                rgb, opacity, depth = self.render_rays(params, bitfield, od[0], od[1])
-                return _, (rgb, opacity, depth)
+        def ray_fn(consts, oo, dd):
+            p, bf = consts
+            return self.render_rays(p, bf, oo, dd)
 
-            _, out = jax.lax.scan(body, None, (oo[0], dd[0]))
-            return jax.tree.map(lambda x: x[None], out)
-
-        f = shard_map(
-            inner,
-            mesh=mesh,
-            in_specs=(P(), P(), P("rays"), P("rays")),
-            out_specs=P("rays"),
-            check_vma=False,
+        rgb, opacity, depth = self._sharded_ray_fanout(
+            mesh, tile, o, d, ray_fn, (params, bitfield)
         )
-        rgb, opacity, depth = f(params, bitfield, o, d)
-        rgb = rgb.reshape(-1, 3)[:n]
-        opacity = opacity.reshape(-1)[:n]
-        depth = depth.reshape(-1)[:n]
-        bg = jnp.asarray(background, jnp.float32)
-        rgb = rgb + (1.0 - opacity)[:, None] * bg
+        rgb = self._background_fill(rgb, opacity, d, params, background)
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 

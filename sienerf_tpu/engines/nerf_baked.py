@@ -258,20 +258,28 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         kept, ts_c, dts_c = valid, ts, dts
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
+    elif meta["mode"] != "nearest":
+        # trilinear interpolates all 8 cell corners: a nearest-vertex bit
+        # test would cull samples whose nearest corner is empty but whose
+        # far corners carry density (eroded surface fringes) — the quality
+        # mode takes the no-cull path instead
+        kept, ts_c, dts_c = valid, ts, dts
+        overflow = jnp.zeros(ts.shape[:1], bool)
+        t_next = t_end
     else:
         R, K = meta["resolution"], meta["n_cascades"]
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
         keep = valid & ~oob & lookup_bits(grid["bits"], flat)
-        if meta["mode"] == "nearest":
-            # exact same-vertex run merge: the window bound covers the
-            # longest possible run (coarsest voxel pitch / smallest step)
-            from sienerf_tpu.common import MIN_CONE_STEPSIZE
+        # exact same-vertex run merge: the window bound covers the longest
+        # possible run — the sqrt(3) diagonal chord of the coarsest
+        # cascade's Voronoi cell over the smallest step
+        from sienerf_tpu.common import MIN_CONE_STEPSIZE
 
-            bound = int(
-                np.ceil((2 ** (K - 1) / R) / (MIN_CONE_STEPSIZE * step_scale))
-            ) + 2
-            if bound < P:
-                keep, dts = merge_same_vertex_runs(flat, keep, dts, max_run=bound)
+        bound = int(
+            np.ceil(np.sqrt(3.0) * (2 ** (K - 1) / R) / (MIN_CONE_STEPSIZE * step_scale))
+        ) + 2
+        if bound < P:
+            keep, dts = merge_same_vertex_runs(flat, keep, dts, max_run=bound)
         kept, ts_c, dts_c = compact_candidates(keep, evals + 1, ts, dts)
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)
@@ -285,18 +293,37 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
 
 
 def render_rays_baked(
-    engine, params, grid, meta, bitfield, o, d, t0, t1,
+    engine, params, grid, meta, bitfield, o, d,
     P: int = 128, evals: int = 32, step_scale: float = 1.0,
     max_rounds: int = 24, adv_iters: int = 16, min_transmittance=None,
+    near=None,
 ):
     """Fixed ray batch through the baked field -> (rgb (N,3), opacity (N,),
     depth (N,)).  The masked-loop sibling of render_frame_baked (no pixel
     streaming) — the unit the multichip shard_map and the foveated viewer
-    path consume."""
+    path consume.
+
+    Mirrors NerfEngine.render_rays conventions exactly: `d` may be
+    unnormalized camera rays (z=1 convention); marching happens along the
+    normalized direction (so dts are world lengths and the absorption
+    integral is FOV-independent) and the returned depth is z-depth
+    (t / |d|)."""
+    from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+    from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
+
+    if near is None:
+        near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
     minT = jnp.asarray(
         engine.render_min_transmittance if min_transmittance is None
         else min_transmittance, jnp.float32,
     )
+    dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / dn
+    t0, t1 = engine._aabb_times(o, d, near)
+    blo, bhi = occupied_bbox(bitfield)
+    btmin, btmax = ray_box_times(o, d, blo, bhi)
+    t0 = jnp.maximum(t0, btmin)
+    t1 = jnp.maximum(jnp.minimum(t1, btmax), t0)
     A = o.shape[0]
     state = dict(
         t=t0, T=jnp.ones((A,), jnp.float32), rgb=jnp.zeros((A, 3), jnp.float32),
@@ -328,8 +355,7 @@ def render_rays_baked(
         )
 
     s = jax.lax.while_loop(cond, body, state)
-    dn = jnp.linalg.norm(d, axis=-1)
-    return s["rgb"], s["op"], s["bt"] / jnp.maximum(dn, 1e-9)
+    return s["rgb"], s["op"], s["bt"] / jnp.maximum(dn[:, 0], 1e-9)
 
 
 def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
@@ -494,6 +520,7 @@ def render_frame_baked(
     return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
 
+
 def render_frame_baked_multichip(
     engine, params, bitfield, grid, camera_matrix, focal_length, mesh,
     *, width: int, height: int, resolution: int, mode: str, n_cascades: int = 1,
@@ -505,57 +532,32 @@ def render_frame_baked_multichip(
     params, occupancy bitfield AND the baked grid replicated (the grid is
     ~0.8 GB at R=256 x 3 cascades — well inside per-chip HBM, and
     replication keeps every gather local to its chip's HBM: a sharded table
-    would turn each sample gather into an ICI all-to-all).  Same split as
-    the live render_frame_multichip (SURVEY.md §2.9)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
+    would turn each sample gather into an ICI all-to-all).  Same split and
+    epilogue (trained-envmap background fill) as the live
+    render_frame_multichip (SURVEY.md §2.9)."""
     from sienerf_tpu.utils.camera import uv_to_ray
 
     meta = {"resolution": resolution, "mode": mode, "n_cascades": n_cascades}
-    ndev = mesh.devices.size
     n = width * height
-    chunk = ndev * tile
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
     px = (idx % width).astype(jnp.float32)
-    py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+    py = (idx // width).astype(jnp.float32)
     uv = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], axis=-1)
     o, d = uv_to_ray(uv, (width, height), focal_length, camera_matrix,
                      screen_center, engine.lens)
-    from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
 
-    bounds = occupied_bbox(bitfield)
-    btmin, btmax = ray_box_times(o, d, bounds[0], bounds[1])
-    t0 = jnp.maximum(btmin, 0.0)
-    t1 = jnp.maximum(btmax, t0)
-    o = o.reshape(ndev, -1, tile, 3)
-    d = d.reshape(ndev, -1, tile, 3)
-    t0 = t0.reshape(ndev, -1, tile)
-    t1 = t1.reshape(ndev, -1, tile)
+    def ray_fn(consts, oo, dd):
+        p, bf, g = consts
+        return render_rays_baked(
+            engine, p, g, meta, bf, oo, dd, P=candidates, evals=evals,
+            step_scale=step_scale, min_transmittance=min_transmittance,
+        )
 
-    def inner(params, bitfield, grid, oo, dd, tt0, tt1):
-        def body(_, args):
-            rgb, op, depth = render_rays_baked(
-                engine, params, grid, meta, bitfield, args[0], args[1],
-                args[2], args[3], P=candidates, evals=evals,
-                step_scale=step_scale, min_transmittance=min_transmittance,
-            )
-            return _, (rgb, op, depth)
+    from sienerf_tpu.engines.nerf import NerfEngine
 
-        _, out = jax.lax.scan(body, None, (oo[0], dd[0], tt0[0], tt1[0]))
-        return jax.tree.map(lambda x: x[None], out)
-
-    f = shard_map(
-        inner, mesh=mesh,
-        in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays"), P("rays")),
-        out_specs=P("rays"), check_vma=False,
+    rgb, op, depth = NerfEngine._sharded_ray_fanout(
+        mesh, tile, o, d, ray_fn, (params, bitfield, grid)
     )
-    rgb, op, depth = f(params, bitfield, grid, o, d, t0, t1)
-    rgb = rgb.reshape(-1, 3)[:n]
-    op = op.reshape(-1)[:n]
-    depth = depth.reshape(-1)[:n]
-    bg = jnp.asarray(background, jnp.float32)
-    rgb = rgb + (1.0 - op)[:, None] * bg
+    rgb = NerfEngine._background_fill(rgb, op, d, params, background)
     rgba = jnp.concatenate([rgb, op[:, None]], axis=-1)
     return rgba.reshape(height, width, 4), depth.reshape(height, width)

@@ -280,10 +280,11 @@ def load_nerf_dataset(
         # (nerf_loader.cu:531-543)
         ep = _resolve_image_path(base, str(meta["envmap"]))
         if ep is not None:
-            envmap = np.asarray(
-                load_image(ep, as_float_linear=(ep.suffix.lower() == ".exr")),
-                np.float32,
-            )
+            # the envmap field contract is LINEAR radiance: EXR is linear as
+            # stored (the flag is a no-op there) and LDR bytes must be
+            # sRGB->linear converted (reference envmap load srgb_to_linear,
+            # nerf_loader.cu:531-543)
+            envmap = np.asarray(load_image(ep, as_float_linear=True), np.float32)
 
     return NerfDataset(
         images=images,

@@ -87,6 +87,7 @@ class Session:
     # --- loading ------------------------------------------------------------
 
     def load_file(self, scene: str | Path, network: str | None = None, **engine_kwargs):
+        self._baked = None  # any cached bake belongs to the previous scene
         self._scene = scene
         self._engine_kwargs = dict(engine_kwargs)
         self.mode = mode_from_scene(scene)
@@ -211,6 +212,10 @@ class Session:
         """Offscreen render -> numpy (H, W, 4) (pyngp Testbed.render)."""
         from sienerf_tpu.ops.optim import inference_params
 
+        if self.mode != TestbedMode.NERF and kw.get("renderer", "live") != "live":
+            raise ValueError(
+                f"renderer={kw['renderer']!r} is NeRF-only (mode is {self.mode.value})"
+            )
         if self.mode == TestbedMode.IMAGE:
             out = self.engine.render(self.state["params"], self.state["opt"], width, height)
             out = np.asarray(out)
@@ -236,11 +241,12 @@ class Session:
             start = np.asarray(camera_matrix, np.float32)
             end = np.asarray(kw.pop("camera_matrix_end", start), np.float32)
             renderer = kw.pop("renderer", "live")
+            bake_res = kw.pop("bake_resolution", 256)
+            bake_mode = kw.pop("bake_mode", "nearest")
             if renderer == "baked":
                 baked = getattr(self, "_baked", None)
                 if baked is None:
-                    baked = self.bake(resolution=kw.pop("bake_resolution", 256),
-                                      mode=kw.pop("bake_mode", "nearest"))
+                    baked = self.bake(resolution=bake_res, mode=bake_mode)
             spp = max(int(spp), 1)
             acc = None
             for i in range(spp):
@@ -308,6 +314,8 @@ class Session:
 
     def load_snapshot(self, path: str | Path):
         import jax
+
+        self._baked = None  # cached bake belongs to the previous state
 
         if _is_reference_snapshot(path):
             from sienerf_tpu.engines.nerf import NerfEngine

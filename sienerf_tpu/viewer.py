@@ -112,6 +112,7 @@ def render_view(
     from sienerf_tpu.ops.optim import inference_params
     from sienerf_tpu.utils.camera import uv_to_ray
 
+    renderer = kw.pop("renderer", "live")
     eng = session.engine
     fov = Foveation(density=foveation_density, center=0.5)
     rw = max(32, int(width / np.sqrt(foveation_density)) // 16 * 16)
@@ -124,10 +125,20 @@ def render_view(
     uv = jnp.asarray(np.stack([uu, vv], axis=-1).reshape(-1, 2), jnp.float32)
     o, d = uv_to_ray(uv, (width, height), focal, np.asarray(camera, np.float32))
     params = inference_params(session.state["opt"], session.state["params"])
-    rgb, op, depth = eng.render_rays(
-        params, session.state["occ"]["bitfield"], o, d,
-        min_transmittance=kw.get("min_transmittance"),
-    )
+    if renderer == "baked":
+        from sienerf_tpu.engines.nerf_baked import render_rays_baked
+
+        grid, meta = getattr(session, "_baked", None) or session.bake()
+        session._baked = (grid, meta)
+        rgb, op, depth = render_rays_baked(
+            eng, params, grid, meta, session.state["occ"]["bitfield"], o, d,
+            min_transmittance=kw.get("min_transmittance"),
+        )
+    else:
+        rgb, op, depth = eng.render_rays(
+            params, session.state["occ"]["bitfield"], o, d,
+            min_transmittance=kw.get("min_transmittance"),
+        )
     img = np.asarray(
         jnp.concatenate([rgb, op[:, None]], axis=-1).reshape(rh, rw, 4)
     )
