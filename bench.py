@@ -42,6 +42,7 @@ def main():
     print(f"# trained {n_bundles * eng.grid_interval} steps, loss={loss:.4f}, "
           f"samples/ray={float(cnt):.1f}, t={time.time() - t_start:.0f}s", file=sys.stderr)
 
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
     from sienerf_tpu.ops.optim import inference_params
 
     params = inference_params(state["opt"], state["params"])
@@ -50,18 +51,45 @@ def main():
     fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # undo downscale: native focal
     cam = eng.xforms[0]
 
-    # warmup/compile
-    rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 14)
-    rgba.block_until_ready()
+    # flagship render path: bake the trained field once (interactive-orbit
+    # amortization, engines/nerf_baked.py), then time baked frames; the live
+    # streaming renderer is the quality cross-check
+    t_bake = time.time()
+    grid, meta = eng.bake_features(params, state["occ"], resolution=256, mode="nearest")
+    jnp_sync = float(np.asarray(grid["rows"][0, 0]))
+    print(f"# bake R=256: {time.time() - t_bake:.1f}s", file=sys.stderr)
 
+    def baked_frame():
+        return render_frame_baked(
+            eng, params, bf, grid, cam, fl, width=W, height=H,
+            resolution=meta["resolution"], mode=meta["mode"],
+            n_cascades=meta["n_cascades"], candidates=64, evals=32,
+            step_scale=2.0,
+        )
+
+    rgba, depth = baked_frame()  # warmup/compile
+    rgba.block_until_ready()
     n_frames = 3
     t0 = time.time()
     for _ in range(n_frames):
-        rgba, depth = eng.render_frame(params, bf, W, H, cam, fl, tile=1 << 14)
+        rgba, depth = baked_frame()
     rgba.block_until_ready()
     dt = (time.time() - t0) / n_frames
     rays_per_sec = W * H / dt
-    print(f"# render {W}x{H}: {dt * 1e3:.1f} ms/frame, opacity_mean={float(rgba[..., 3].mean()):.3f}",
+    print(f"# render {W}x{H} (baked): {dt * 1e3:.1f} ms/frame, "
+          f"opacity_mean={float(rgba[..., 3].mean()):.3f}", file=sys.stderr)
+
+    # live cross-check at reduced res (full live 720p costs ~5s/frame)
+    lw, lh = 640, 360
+    live, _ = eng.render_frame(params, bf, lw, lh, cam,
+                               tuple(np.asarray(fl) * lw / W), tile=1 << 14)
+    baked_s, _ = render_frame_baked(
+        eng, params, bf, grid, cam, tuple(np.asarray(fl) * lw / W),
+        width=lw, height=lh, resolution=meta["resolution"], mode=meta["mode"],
+        n_cascades=meta["n_cascades"], candidates=64, evals=32, step_scale=2.0,
+    )
+    mse_bl = float(np.mean((np.asarray(live[..., :3]) - np.asarray(baked_s[..., :3])) ** 2))
+    print(f"# baked-vs-live PSNR: {-10 * np.log10(max(mse_bl, 1e-10)):.2f} dB",
           file=sys.stderr)
 
     # quality line (stderr): train-view PSNR at the dataset's own resolution
