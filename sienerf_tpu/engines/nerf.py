@@ -134,6 +134,15 @@ class NerfEngine:
     # wiring, testbed.cu:4034-4045; configs' distortion_map block)
     optimize_distortion: bool = False
     distortion_resolution: int = 32
+    # near-region density regularizer (anti-floater, opt-in): L1 penalty on
+    # optical thickness deposited in the first `near_reg_fraction` of each
+    # ray's span.  Real captures (fox) at short budgets minimize the photo
+    # loss with a view-dependent fog "billboard" near the cameras; pushing
+    # near-density toward zero forces the explanation onto the consistent
+    # far geometry (same goal as the reference's density-grid warmup decay;
+    # see NOTES_ROUND1 open item 1)
+    near_density_reg: float = 0.0
+    near_reg_fraction: float = 0.25
     # depth supervision (reference m_nerf.training.depth_supervision_lambda,
     # nerf.h:124; loss term testbed_nerf.cu:1065-1067) — active when the
     # dataset ships depth images
@@ -503,6 +512,16 @@ class NerfEngine:
         per_ray = jnp.where(ray_ok, per_ray, 0.0)
         denom = jnp.maximum(jnp.sum(ray_ok.astype(jnp.float32)), 1.0)
         loss = jnp.sum(per_ray) / denom
+        if self.near_density_reg > 0.0 and self.compact_training:
+            near_cut = jnp.take(
+                t0 + self.near_reg_fraction * (t1 - t0),
+                jnp.minimum(ray_id, n_rays_eff - 1),
+            )
+            near = (t_f < near_cut) & (ray_id < n_rays_eff)
+            reg = jnp.sum(jnp.where(near, dens_s * dt_f, 0.0)) / jnp.maximum(
+                jnp.sum(ray_ok.astype(jnp.float32)), 1.0
+            )
+            loss = loss + self.near_density_reg * reg
         if depth_target is not None and self.depth_supervision_lambda > 0.0:
             # depth term (testbed_nerf.cu:1065-1067): only rays with valid
             # depth (>0); prediction = expected ray termination distance

@@ -115,7 +115,9 @@ class Session:
             from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
 
             ds = load_nerf_dataset(scene, **{k: v for k, v in engine_kwargs.items() if k in ("downscale", "max_images", "split")})
-            ekw = {k: v for k, v in engine_kwargs.items() if k in ("train_batch_size", "grid_size", "train_k")}
+            ekw = {k: v for k, v in engine_kwargs.items()
+                   if k in ("train_batch_size", "grid_size", "train_k",
+                            "near_density_reg", "near_reg_fraction")}
             self.engine = NerfEngine.create(self.network_config, ds, **ekw)
             self.state = self.engine.init(self.seed)
             self.dataset = ds

@@ -494,3 +494,45 @@ def test_nerf_render_modes():
         lambda p, b: eng.render_rays(p, b, o, d, render_mode="ao")
     )(params, bf)
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_near_density_reg_reduces_near_fog():
+    """Anti-floater regularizer: with near_density_reg on, the trained field
+    deposits less optical thickness in the near region of training rays."""
+    import jax.numpy as jnp
+
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.models.nerf_network import (
+        apply_density_activation,
+        density_raw,
+    )
+    from sienerf_tpu.ops.optim import inference_params
+
+    ds = make_dataset()
+
+    def train(reg):
+        eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13,
+                                grid_size=32, train_k=32)
+        eng.train_march_iters = 96
+        eng._phase = "fast"
+        eng.near_density_reg = reg
+        state = eng.init(0)
+        key = jax.random.PRNGKey(0)
+        for _ in range(4):
+            key, sub = jax.random.split(key)
+            state, loss, _ = eng.train_bundle(state, sub)
+        assert np.isfinite(float(loss))
+        return eng, state
+
+    def near_density(eng, state):
+        # density near the cameras (outside the ball at 0.5 +- 0.18)
+        params = inference_params(state["opt"], state["params"])
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(0.02, 0.2, (512, 3)).astype(np.float32)
+        raw = density_raw(eng.net, params, jnp.asarray(pos))
+        return float(jnp.mean(apply_density_activation(raw, eng.net.density_activation)))
+
+    eng0, st0 = train(0.0)
+    eng1, st1 = train(1.0)
+    d0, d1 = near_density(eng0, st0), near_density(eng1, st1)
+    assert d1 <= d0 + 1e-3, (d0, d1)

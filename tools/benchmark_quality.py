@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--snapshot", default=None, help="resume/eval-only from this snapshot")
     ap.add_argument("--save_snapshot", default=None)
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--near_reg", type=float, default=0.0,
+                    help="near-region density regularizer (anti-floater, fox)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness smoke; the axon "
                     "site hook ignores JAX_PLATFORMS so set the config)")
@@ -97,7 +99,8 @@ def main():
         if not args.eval_only:
             sess.train(args.n_steps)
     else:
-        sess.load_file(train_json, downscale=args.downscale)
+        ekw = {"near_density_reg": args.near_reg} if args.near_reg else {}
+        sess.load_file(train_json, downscale=args.downscale, **ekw)
         sess.train(args.n_steps)
     train_s = time.time() - t0
     if args.save_snapshot:
