@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--eval_max_views", type=int, default=0, help="0 = all test views")
     p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--optimize_extrinsics", action="store_true")
+    p.add_argument("--bake_probes", type=int, default=0,
+                   help="geometry mode: bake an NxNxN SH irradiance probe grid "
+                   "from the scene's NeRF objects before rendering (the "
+                   "reference CLI's computeEnvmapGrid startup step, "
+                   "main.cu:184-188)")
     return p.parse_args(argv)
 
 
@@ -90,6 +95,23 @@ def main(argv=None):
 
     if args.save_snapshot:
         sess.save_snapshot(args.save_snapshot)
+
+    if args.bake_probes > 0 and mode == TestbedMode.GEOMETRY:
+        eng = sess.engine
+        nerf_objs = [o for o in eng.objects if o.kind == "nerf" and o.nerf is not None]
+        if not nerf_objs:
+            log.warning("--bake_probes: scene has no NeRF objects to sample")
+        else:
+            from sienerf_tpu.engines.irradiance import bake_probe_grid
+
+            t0 = time.time()
+            obj = nerf_objs[0]
+            eng.probe_grid = bake_probe_grid(
+                obj.nerf, obj.nerf_state, eng.aabb.min, eng.aabb.max,
+                grid_size=args.bake_probes,
+            )
+            eng.shade_mode = "grid"
+            log.success(f"baked {args.bake_probes}^3 probe grid in {time.time() - t0:.1f}s")
 
     if args.test_transforms and mode == TestbedMode.NERF:
         from sienerf_tpu.metrics import psnr as psnr_of, ssim as ssim_of
