@@ -41,13 +41,17 @@ def main():
     ref = None
     cfgs = [
         dict(candidates=128, evals=32, step_scale=1.0, advance_iters=16),
-        dict(candidates=128, evals=64, step_scale=1.0, advance_iters=16),
-        dict(candidates=128, evals=32, step_scale=2.0, advance_iters=16),
         dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
+        # no-cull A/B: same work per candidate, no sort/bit machinery
+        dict(candidates=64, evals=64, step_scale=2.0, advance_iters=16),
+        # bigger tiles: fewer rounds, less flush/refill; full-frame = none
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
+             tile=1 << 17),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
+             tile=1 << 20),
         dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),
-        dict(candidates=128, evals=32, step_scale=2.0, advance_iters=0),
-        dict(candidates=128, evals=48, step_scale=2.0, advance_iters=16,
-             min_transmittance=0.05),
+        dict(candidates=128, evals=64, step_scale=2.0, advance_iters=16,
+             tile=1 << 20),
     ]
     for cfg in cfgs:
         def run():
