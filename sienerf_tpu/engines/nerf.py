@@ -177,6 +177,8 @@ class NerfEngine:
         train_batch_size: int = 1 << 18,
         grid_size: int = 128,
         train_k: int = 64,
+        near_density_reg: float = 0.0,
+        near_reg_fraction: float = 0.25,
     ) -> "NerfEngine":
         aabb_scale = dataset.aabb_scale
         net = NerfNetworkConfig.from_network_config(
@@ -209,6 +211,8 @@ class NerfEngine:
             principal_points=np.asarray(dataset.principal_points),
             resolution=dataset.resolution,
             lens=dataset.lens,
+            near_density_reg=near_density_reg,
+            near_reg_fraction=near_reg_fraction,
         )
         if dataset.xforms_end is not None:
             eng.rolling_shutter = np.asarray(dataset.rolling_shutter, np.float32)
