@@ -1,10 +1,13 @@
 """Stage-by-stage timing of one _baked_round on real TPU.
 
-Each stage is timed cumulatively (chain, +cull, +compact, +fine-gather,
-+colors, +composite, +flush) by jitting progressively larger prefixes, all
-loop-amortized inside one jit (tunnel-safe).
+Cumulative prefixes of the ACTUAL round body (advance, +chain, +cull,
++merge, +compact, +colors, +composite), each loop-amortized inside one jit
+(tunnel-safe), plus the full _baked_round (march/eval + flush/refill tail)
+timed with state threaded through the loop exactly like the production
+lax.while_loop — the "+flush" line is full-round minus the +composite
+prefix.
 
-Usage: FOX_CACHE=fox_4k.pkl python tools/profile_baked_round.py [P] [evals]
+Usage: FOX_CACHE=fox_4k.pkl python tools/profile_baked_round.py [P] [evals] [step_scale] [adv_iters]
 """
 
 import sys
@@ -25,23 +28,37 @@ A = 1 << 16
 
 
 def main():
+    from sienerf_tpu.common import MIN_CONE_STEPSIZE
     from sienerf_tpu.engines.nerf_baked import (
+        _baked_round,
         _baked_sample_colors,
         _candidate_chain,
     )
-    from sienerf_tpu.ops.baked import compact_candidates, cull_candidates
+    from sienerf_tpu.ops.baked import (
+        compact_candidates,
+        lookup_bits,
+        merge_same_vertex_runs,
+        nearest_vertex_ids,
+    )
     from sienerf_tpu.ops.occupancy import occupied_bbox
     from sienerf_tpu.ops.optim import inference_params
-    from sienerf_tpu.ops.raymarch import advance_to_occupied, composite_chunk
+    from sienerf_tpu.ops.raymarch import (
+        advance_to_occupied,
+        composite_chunk,
+        retreat_to_occupied,
+    )
 
-    P = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    P = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     EV = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    SS = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
+    ADV = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
     eng, state = get_state()
     params = inference_params(state["opt"], state["params"])
     bitfield = state["occ"]["bitfield"]
     grid, meta = eng.bake_features(params, state["occ"], resolution=256, mode="nearest")
     float(jnp.asarray(grid["rows"][0, 0]))
+    R, K = meta["resolution"], meta["n_cascades"]
 
     cam = eng.xforms[0]
     focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
@@ -52,32 +69,48 @@ def main():
     ids = jnp.arange(A, dtype=jnp.int32)
     o, d, dn, t0, t1 = eng._frame_make_rays(ids, n, cam_spec, bounds)
     t0 = advance_to_occupied(eng.march, bitfield, o, d, t0, t1, eng.init_advance_iters)
+    t1 = retreat_to_occupied(eng.march, bitfield, o, d, t0, t1, eng.init_advance_iters)
 
     minT = jnp.asarray(0.01, jnp.float32)
     T0 = jnp.ones((A,), jnp.float32)
+    bound = int(
+        np.ceil(np.sqrt(3.0) * (2 ** (K - 1) / R) / (MIN_CONE_STEPSIZE * SS))
+    ) + 2
 
     def stage(level, o, d, t0, t1, p):
-        ts, dts, t_end = _candidate_chain(t0, eng.march.cone_angle, P, 1.0)
+        t = advance_to_occupied(eng.march, bitfield, o, d, t0, t1, ADV)
         if level == 0:
-            return ts.sum() + t_end.sum()
-        valid = (ts < t1[:, None])
-        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
-        keep = valid & cull_candidates(grid["bits"], meta["resolution"], meta["n_cascades"], pos)
+            return jnp.sum(t)
+        ts, dts, t_end = _candidate_chain(t, eng.march.cone_angle, P, SS)
         if level == 1:
+            return jnp.sum(ts) + jnp.sum(t_end)
+        valid = ts < t1[:, None]
+        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+        flat, oob, _ = nearest_vertex_ids(R, K, pos)
+        keep = valid & ~oob & lookup_bits(grid["bits"], flat)
+        if level == 2:
             return jnp.sum(keep)
+        if bound < P:
+            keep, dts = merge_same_vertex_runs(flat, keep, dts, max_run=bound)
+        if level == 3:
+            return jnp.sum(keep) + jnp.sum(dts)
         kept, ts_c, dts_c = compact_candidates(keep, EV + 1, ts, dts)
         kept, ts_c, dts_c = kept[:, :EV], ts_c[:, :EV], dts_c[:, :EV]
-        if level == 2:
+        if level == 4:
             return jnp.sum(ts_c) + jnp.sum(kept)
         rgb, dens = _baked_sample_colors(eng, p, grid, meta, o, d, ts_c, kept)
-        if level == 3:
+        if level == 5:
             return jnp.sum(rgb) + jnp.sum(dens)
-        rgb_sum, opacity, T_out, bw, bt = composite_chunk(rgb, dens, ts_c, dts_c, kept, T0, minT)
+        rgb_sum, opacity, T_out, bw, bt = composite_chunk(
+            rgb, dens, ts_c, dts_c, kept, T0, minT
+        )
         return jnp.sum(rgb_sum) + jnp.sum(T_out)
 
-    names = ["chain", "+cull", "+compact", "+colors", "+composite"]
+    names = ["advance", "+chain", "+cull", "+merge", "+compact", "+colors", "+composite"]
     prev = 0.0
-    for lv in range(5):
+    composite_total = 0.0
+    for lv in range(7):
+
         @partial(jax.jit, static_argnums=0)
         def run(lv, o, d, t0, t1, p, iters=8):
             def body(i, acc):
@@ -93,6 +126,51 @@ def main():
         dt = (time.time() - t) / 8
         print(f"{names[lv]:12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-prev):7.2f})")
         prev = dt
+        composite_total = dt
+
+    # full round (march/eval + flush/refill), state threaded like production
+    def pad1(x, row):
+        return jnp.concatenate(
+            [x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])]
+        )
+
+    rays_pre = (
+        pad1(o, [0.0, 0.0, 0.0]),
+        pad1(d, [0.0, 0.0, 1.0]),
+        pad1(dn, 1.0),
+        pad1(t0, 0.0),
+        pad1(t1, 0.0),
+    )
+    zero = jnp.zeros((A,), jnp.float32)
+    st = dict(
+        ids=ids, o=o, d=d, dnorm=dn, t=t0, t1=t1,
+        T=jnp.ones((A,), jnp.float32), rgb=jnp.zeros((A, 3), jnp.float32),
+        op=zero, bw=zero, bt=zero, valid=ids < n,
+        chunks=jnp.zeros((A,), jnp.int32), used=jnp.zeros((A,), jnp.int32),
+        cursor=jnp.asarray(A, jnp.int32), minT=minT,
+        out=jnp.zeros((n + 1, 5), jnp.float32),
+        n_rounds=jnp.asarray(0, jnp.int32),
+        n_ray_rounds=jnp.asarray(0, jnp.int32),
+        n_evals=jnp.asarray(0, jnp.int32),
+        n_overflow=jnp.asarray(0, jnp.int32),
+    )
+
+    @jax.jit
+    def run_full(st, p, iters=8):
+        def body(i, s):
+            return _baked_round(
+                eng, s, p, grid, meta, bitfield, n, rays_pre, P, EV, SS, 24, ADV
+            )
+
+        return jax.lax.fori_loop(0, iters, body, st)
+
+    out = run_full(st, params)
+    jax.block_until_ready(out["out"])
+    t = time.time()
+    out = run_full(st, params)
+    jax.block_until_ready(out["out"])
+    dt = (time.time() - t) / 8
+    print(f"{'full round':12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-composite_total):7.2f} = flush/refill)")
 
 
 if __name__ == "__main__":

@@ -1,11 +1,17 @@
 """Sweep the baked renderer's knobs on real TPU with telemetry.
 
 Prints per config: ms/frame, Mrays/s, rounds, ray-rounds, fine evals,
-overflow count, PSNR vs the ss=1 reference frame.
+overflow count, PSNR vs the reference frame (first config's output, or a
+cross-run ref image via REF_NPY=path.npy — written if missing, loaded if
+present, so different bake resolutions compare against one fixed ss=1
+R=256 frame).
 
-Usage: FOX_CACHE=fox_4k.pkl python tools/sweep_baked.py
+Usage: FOX_CACHE=fox_4k.pkl [BAKE_R=256] [REF_NPY=/tmp/ref720.npy] \
+         python tools/sweep_baked.py [configset]
+configset: v3 (default — overflow/advance A/Bs) | v2 (round-2 tile sweep)
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -19,41 +25,64 @@ from tools.profile_render import get_state  # noqa: E402
 
 W, H = 1280, 720
 
+CONFIG_SETS = {
+    # round-2 sweep: tile sizes and no-cull A/B
+    "v2": [
+        dict(candidates=128, evals=32, step_scale=1.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
+        dict(candidates=64, evals=64, step_scale=2.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16, tile=1 << 17),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16, tile=1 << 20),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),
+        dict(candidates=128, evals=64, step_scale=2.0, advance_iters=16, tile=1 << 20),
+    ],
+    # round-2 best was P=64/evals=32/ss=4 (3.68 s) with 94% of rounds
+    # overflowing at evals=32 and an unexplained P-independent per-round
+    # cost.  v3 probes the two hypotheses: (a) overflow rollback waste —
+    # raise evals toward no-cull; (b) the per-round serial DDA advance —
+    # drop advance_iters to 0/4 (candidate bit-culls already skip gaps
+    # shorter than the chain span).
+    "v3": [
+        dict(candidates=128, evals=32, step_scale=1.0, advance_iters=16),  # ref
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),   # r2 best
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=4),
+        dict(candidates=64, evals=48, step_scale=4.0, advance_iters=0),
+        dict(candidates=64, evals=64, step_scale=4.0, advance_iters=0),    # no-cull
+        dict(candidates=96, evals=48, step_scale=4.0, advance_iters=0),
+        dict(candidates=64, evals=48, step_scale=2.0, advance_iters=0),
+        dict(candidates=128, evals=48, step_scale=4.0, advance_iters=0, tile=1 << 17),
+    ],
+}
+
 
 def main():
     from sienerf_tpu.engines.nerf_baked import render_frame_baked
     from sienerf_tpu.ops.optim import inference_params
 
+    cfgs = CONFIG_SETS[sys.argv[1] if len(sys.argv) > 1 else "v3"]
+    R = int(os.environ.get("BAKE_R", "256"))
+    ref_npy = os.environ.get("REF_NPY", "")
+
     eng, state = get_state()
     params = inference_params(state["opt"], state["params"])
     bitfield = state["occ"]["bitfield"]
     t0 = time.time()
-    grid, meta = eng.bake_features(params, state["occ"], resolution=256, mode="nearest")
+    grid, meta = eng.bake_features(params, state["occ"], resolution=R, mode="nearest")
     float(jnp.asarray(grid["rows"][0, 0]))
     bits_frac = float(jnp.mean(jnp.float32(jnp.unpackbits(
         jnp.asarray(np.frombuffer(np.asarray(grid["bits"]).tobytes(), np.uint8))))))
-    print(f"# bake {time.time()-t0:.0f}s, live-bit fraction {bits_frac:.3f}")
+    print(f"# bake R={R} {time.time()-t0:.0f}s, live-bit fraction {bits_frac:.3f}")
 
     cam = eng.xforms[0]
     focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
     sc = tuple(np.asarray(eng.principal_points[0]))
 
     ref = None
-    cfgs = [
-        dict(candidates=128, evals=32, step_scale=1.0, advance_iters=16),
-        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
-        # no-cull A/B: same work per candidate, no sort/bit machinery
-        dict(candidates=64, evals=64, step_scale=2.0, advance_iters=16),
-        # bigger tiles: fewer rounds, less flush/refill; full-frame = none
-        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
-             tile=1 << 17),
-        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
-             tile=1 << 20),
-        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),
-        dict(candidates=128, evals=64, step_scale=2.0, advance_iters=16,
-             tile=1 << 20),
-    ]
-    for cfg in cfgs:
+    if ref_npy and Path(ref_npy).exists():
+        ref = np.load(ref_npy)
+        print(f"# ref loaded from {ref_npy}")
+    for ci, cfg in enumerate(cfgs):
         def run():
             return render_frame_baked(
                 eng, params, bitfield, grid, cam, focal, width=W, height=H,
@@ -74,6 +103,9 @@ def main():
         img = np.asarray(rgba)[..., :3]
         if ref is None:
             ref = img
+            if ref_npy:
+                np.save(ref_npy, ref)
+                print(f"# ref saved to {ref_npy}")
             psnr = float("inf")
         else:
             mse = float(np.mean((img - ref) ** 2))
