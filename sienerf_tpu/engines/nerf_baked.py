@@ -358,18 +358,18 @@ def render_rays_baked(
     return s["rgb"], s["op"], s["bt"] / jnp.maximum(dn[:, 0], 1e-9)
 
 
-def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
-                 evals: int, step_scale: float, max_rounds: int, adv_iters: int):
-    """One streaming round: bulk march/eval pass (_march_eval_once), then
-    flush finished rays + refill slots (shared with the live renderer,
-    NerfEngine._frame_flush_refill)."""
+def _baked_accum_pass(engine, s, params, grid, meta, bitfield, P: int,
+                      evals: int, step_scale: float, max_rounds: int,
+                      adv_iters: int):
+    """One bulk march/eval pass accumulated into the streaming state (no
+    flush/refill) — the composable unit behind `flush_every`."""
     was_alive = _baked_alive(engine, s, max_rounds)
     rgb_sum, opacity, T_out, t_next, bw, bt, n_kept, overflow = _march_eval_once(
         engine, params, grid, meta, bitfield, s["o"], s["d"], s["t"], s["t1"],
         s["T"], s["minT"], was_alive, P, evals, step_scale, adv_iters,
     )
     better = was_alive & (bw > s["bw"])
-    s2 = {
+    return {
         **s,
         "rgb": s["rgb"] + jnp.where(was_alive[:, None], rgb_sum, 0.0),
         "op": s["op"] + jnp.where(was_alive, opacity, 0.0),
@@ -386,6 +386,25 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
         "n_evals": s["n_evals"] + jnp.sum(n_kept),
         "n_overflow": s["n_overflow"] + jnp.sum(overflow & was_alive, dtype=jnp.int32),
     }
+
+
+def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
+                 evals: int, step_scale: float, max_rounds: int, adv_iters: int,
+                 flush_every: int = 1):
+    """One streaming round: `flush_every` bulk march/eval passes
+    (_baked_accum_pass), then ONE flush of finished rays + slot refill
+    (shared with the live renderer, NerfEngine._frame_flush_refill).
+    flush_every > 1 amortizes the flush/refill tail (argsort scatter +
+    ray-stream gathers) over several passes; rays that finish mid-group
+    idle (masked out) until the group's flush — ids/valid/cursor only
+    change at flush time, so passing the group's ORIGINAL state to
+    _frame_flush_refill is exact."""
+    s2 = s
+    for _ in range(flush_every):
+        s2 = _baked_accum_pass(
+            engine, s2, params, grid, meta, bitfield, P, evals, step_scale,
+            max_rounds, adv_iters,
+        )
     return engine._frame_flush_refill(
         s, s2, n, rays_pre, lambda st: _baked_alive(engine, st, max_rounds), None
     )
@@ -397,7 +416,7 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
     static_argnames=(
         "width", "height", "resolution", "mode", "n_cascades", "tile",
         "candidates", "evals", "step_scale", "max_rounds", "advance_iters",
-        "return_stats",
+        "flush_every", "return_stats",
     ),
 )
 def render_frame_baked(
@@ -419,6 +438,7 @@ def render_frame_baked(
     step_scale: float = 1.0,
     max_rounds: int = 24,
     advance_iters: int = 16,
+    flush_every: int = 1,
     screen_center=(0.5, 0.5),
     background=(0.0, 0.0, 0.0),
     min_transmittance=None,
@@ -497,7 +517,7 @@ def render_frame_baked(
     def body(s):
         return _baked_round(
             engine, s, params, grid, meta, bitfield, n, rays_pre, candidates,
-            evals, step_scale, max_rounds, advance_iters,
+            evals, step_scale, max_rounds, advance_iters, flush_every,
         )
 
     s = jax.lax.while_loop(cond, body, state)

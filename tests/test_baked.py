@@ -247,3 +247,39 @@ def test_merge_runs_window_bound():
     head, dt = merge_same_vertex_runs(flat, keep, dts, max_run=10)
     assert np.array_equal(np.asarray(head[0]), [1] + [0] * 9)
     assert np.allclose(np.asarray(dt[0, 0]), 10.0)
+
+
+@pytest.mark.slow
+def test_flush_every_and_no_advance(trained_small):
+    """flush_every groups march/eval passes between flushes without touching
+    per-ray math (bit-identical frames); advance_iters=0 relies on the
+    candidate bit-cull to skip gaps (near-identical frames)."""
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    grid, meta = eng.bake_features(params, state["occ"], resolution=64, mode="nearest")
+
+    cam = ds.xforms[0]
+    focal = tuple(np.asarray(ds.focal_lengths[0], np.float32))
+    kw = dict(
+        width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
+        n_cascades=meta["n_cascades"], tile=1 << 12, candidates=32, evals=8,
+        min_transmittance=1e-4,
+    )
+    base, _ = render_frame_baked(eng, params, bitfield, grid, cam, focal, **kw)
+    grouped, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, flush_every=2, **kw
+    )
+    assert np.allclose(np.asarray(base), np.asarray(grouped), atol=1e-5), (
+        "flush_every must not change per-ray results"
+    )
+    noadv, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, advance_iters=0, **kw
+    )
+    base, noadv = np.asarray(base), np.asarray(noadv)
+    mse = float(np.mean((base[..., :3] - noadv[..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    assert psnr > 30.0, psnr
