@@ -52,6 +52,9 @@ CONFIG_SETS = {
         dict(candidates=96, evals=48, step_scale=4.0, advance_iters=0),
         dict(candidates=64, evals=48, step_scale=2.0, advance_iters=0),
         dict(candidates=128, evals=48, step_scale=4.0, advance_iters=0, tile=1 << 17),
+        # amortize the flush/refill tail over several march/eval passes
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0, flush_every=2),
+        dict(candidates=64, evals=48, step_scale=4.0, advance_iters=0, flush_every=4),
     ],
 }
 
