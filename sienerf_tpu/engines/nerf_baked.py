@@ -416,7 +416,7 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
     static_argnames=(
         "width", "height", "resolution", "mode", "n_cascades", "tile",
         "candidates", "evals", "step_scale", "max_rounds", "advance_iters",
-        "flush_every", "return_stats",
+        "flush_every", "init_advance_iters", "return_stats",
     ),
 )
 def render_frame_baked(
@@ -439,6 +439,7 @@ def render_frame_baked(
     max_rounds: int = 24,
     advance_iters: int = 16,
     flush_every: int = 1,
+    init_advance_iters: int | None = None,
     screen_center=(0.5, 0.5),
     background=(0.0, 0.0, 0.0),
     min_transmittance=None,
@@ -465,14 +466,19 @@ def render_frame_baked(
     bounds = occupied_bbox(bitfield)
     ids_all = jnp.arange(n, dtype=jnp.int32)
     o_a, d_a, dn_a, t0_a, t1_a = engine._frame_make_rays(ids_all, n, cam_spec, bounds)
-    if engine.init_advance_iters > 0:
+    # 160 serial DDA iterations x2 ends over every pixel is a fixed frame
+    # cost; the baked path's bit-culled candidate chains tolerate a much
+    # shallower init advance (overridable here without mutating the engine,
+    # which would poison the jit cache keyed on the static engine arg)
+    ia = engine.init_advance_iters if init_advance_iters is None else init_advance_iters
+    if ia > 0:
         t0_a = advance_to_occupied(
-            engine.march, bitfield, o_a, d_a, t0_a, t1_a, engine.init_advance_iters
+            engine.march, bitfield, o_a, d_a, t0_a, t1_a, ia
         )
         # symmetric exit retreat: sky/background rays collapse to zero span
         # instead of paying full-span candidate gathers
         t1_a = retreat_to_occupied(
-            engine.march, bitfield, o_a, d_a, t0_a, t1_a, engine.init_advance_iters
+            engine.march, bitfield, o_a, d_a, t0_a, t1_a, ia
         )
 
     def pad1(x, row):

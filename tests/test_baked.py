@@ -279,7 +279,16 @@ def test_flush_every_and_no_advance(trained_small):
     noadv, _ = render_frame_baked(
         eng, params, bitfield, grid, cam, focal, advance_iters=0, **kw
     )
-    base, noadv = np.asarray(base), np.asarray(noadv)
-    mse = float(np.mean((base[..., :3] - noadv[..., :3]) ** 2))
+    base_np, noadv = np.asarray(base), np.asarray(noadv)
+    mse = float(np.mean((base_np[..., :3] - noadv[..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    assert psnr > 30.0, psnr
+    # shallow frame-init advance: candidate bit-cull absorbs the coarser
+    # span start, so the frame stays visually identical to the deep default
+    shallow, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, init_advance_iters=8, **kw
+    )
+    shallow = np.asarray(shallow)
+    mse = float(np.mean((base_np[..., :3] - shallow[..., :3]) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-10))
     assert psnr > 30.0, psnr

@@ -55,6 +55,11 @@ CONFIG_SETS = {
         # amortize the flush/refill tail over several march/eval passes
         dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0, flush_every=2),
         dict(candidates=64, evals=48, step_scale=4.0, advance_iters=0, flush_every=4),
+        # frame-init advance depth (default 160 serial DDA iters x2 ends)
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0,
+             init_advance_iters=32),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0,
+             init_advance_iters=0),
     ],
 }
 
