@@ -42,7 +42,11 @@ def main():
     # longer-trained cached field when one exists — the reference's headline
     # "tens of ms" figure is likewise measured on converged scenes.  Fresh
     # boxes fall back to a short train.
-    cache = Path(".cache/fox_4k.pkl")
+    cache = next(
+        (p for p in (Path(".cache/fox_16k.pkl"), Path(".cache/fox_4k.pkl"))
+         if p.exists()),
+        Path(".cache/fox_4k.pkl"),
+    )
     if cache.exists():
         with open(cache, "rb") as fh:
             blob = pickle.load(fh)
