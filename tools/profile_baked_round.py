@@ -98,18 +98,31 @@ def main():
         kept, ts_c, dts_c = kept[:, :EV], ts_c[:, :EV], dts_c[:, :EV]
         if level == 4:
             return jnp.sum(ts_c) + jnp.sum(kept)
-        rgb, dens = _baked_sample_colors(eng, p, grid, meta, o, d, ts_c, kept)
         if level == 5:
+            # fine feature gather ALONE (no color MLP) — splits the "+colors"
+            # delta into gather vs MLP, which decides whether a deferred
+            # per-ray shading path is worth anything
+            from sienerf_tpu.ops.baked import baked_features
+
+            pos_c = o[:, None, :] + ts_c[..., None] * d[:, None, :]
+            raw = baked_features(
+                grid["rows"], grid["scale"], R, K, meta["mode"],
+                pos_c.reshape(-1, 3),
+            )
+            return jnp.sum(raw)
+        rgb, dens = _baked_sample_colors(eng, p, grid, meta, o, d, ts_c, kept)
+        if level == 6:
             return jnp.sum(rgb) + jnp.sum(dens)
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(
             rgb, dens, ts_c, dts_c, kept, T0, minT
         )
         return jnp.sum(rgb_sum) + jnp.sum(T_out)
 
-    names = ["advance", "+chain", "+cull", "+merge", "+compact", "+colors", "+composite"]
+    names = ["advance", "+chain", "+cull", "+merge", "+compact", "+gather",
+             "+colors", "+composite"]
     prev = 0.0
     composite_total = 0.0
-    for lv in range(7):
+    for lv in range(8):
 
         @partial(jax.jit, static_argnums=0)
         def run(lv, o, d, t0, t1, p, iters=8):
