@@ -732,6 +732,8 @@ class NerfEngine:
             return rgb, dens, valid
         N, K = ts.shape
         pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
+        if mode.startswith("glow"):
+            return self._glow_samples(mode, pos, origins, rgb, dens, dts, valid)
         if mode == "positions":
             rgb = (pos - 0.5) / 2.0 + 0.5
         elif mode == "depth":
@@ -753,8 +755,68 @@ class NerfEngine:
             _, vjp = jax.vjp(dens_of, unit)
             (g,) = vjp(jnp.ones((unit.shape[0],), jnp.float32))
             rgb = -g.reshape(N, K, 3)
+        elif mode == "encoding_vis":
+            # composite_kernel_nerf EncodingVis branch: rgb = warped_pos
+            # (testbed_nerf.cu:697-698) — the network-domain position
+            rgb = jnp.clip((pos - self.aabb.min) / self.aabb.diag, 0.0, 1.0)
         else:
             raise ValueError(f"render mode {mode} not supported for NeRF")
+        return rgb, dens, valid
+
+    def _glow_samples(self, mode, pos, origins, rgb, dens, dts, valid):
+        """Shade-mode glow overlay (composite_kernel_nerf glow branch,
+        testbed_nerf.cu:587-687): height/radial-band glow with cosine
+        gridlines added to the sample color.  Mode string
+        "glow[:glow_mode[:y_cutoff]]" — glow_mode is the reference bitmask
+        (1 green grid, 2 cutline, 4 mask-to-alpha, 8 radial, 16 grid), GUI
+        defaults glow_mode=1, y_cutoff=0.  mask-to-alpha scales the sample's
+        ALPHA by the band mask; folded exactly into the density the
+        compositor sees via sigma' = -log(1 - mask*alpha)/dt."""
+        parts = mode.split(":")
+        glow_mode = int(parts[1]) if len(parts) > 1 else 1
+        y_cutoff = float(parts[2]) if len(parts) > 2 else 0.0
+        green_grid, green_cutline = glow_mode & 1, glow_mode & 2
+        mask_to_alpha, radial, grid_mode = glow_mode & 4, glow_mode & 8, glow_mode & 16
+
+        if radial:
+            dist = jnp.linalg.norm(pos - origins[:, None, :], axis=-1)
+            dist = jnp.minimum(dist, (4.5 - pos[..., 1]) * 0.333)
+        else:
+            dist = pos[..., 1]
+        if grid_mode:
+            glow = 1.0 / jnp.maximum(1.0, dist)
+            mask = jnp.ones_like(dist)
+        else:
+            y = (y_cutoff - dist) * 80.0
+            in_band = y > 0.0
+            mask = jnp.where(in_band, jnp.minimum(1.0, y), 0.0)
+            glow = jnp.zeros_like(dist)
+            if green_cutline:
+                glow += jnp.where(
+                    in_band, jnp.maximum(0.0, 1.0 - jnp.abs(1.0 - y)) * 4.0, 0.0
+                )
+            y2 = jnp.where(y > 1.0, 1.0 - (y - 1.0) * 0.05, y)
+            if green_grid:
+                glow += jnp.where(
+                    in_band, jnp.maximum(0.0, y2 / jnp.maximum(1.0, dist)), 0.0
+                )
+        # cosine gridlines at 4 octaves per axis (testbed_nerf.cu:661-674)
+        line = jnp.zeros_like(dist)
+        for s in (2.0, 4.0, 8.0, 16.0):
+            line += jnp.sum(
+                jnp.maximum(0.0, jnp.cos(pos * s * jnp.pi * 16.0) - 0.975), axis=-1
+            )
+        tint = jnp.asarray([0.25, 1.0, 0.5], jnp.float32)
+        if grid_mode:
+            g = glow * line * 15.0
+            rgb = g[..., None] * tint
+        else:
+            g = jnp.where(glow > 0.0, glow * glow * 0.25 + glow * line * 15.0, 0.0)
+            rgb = rgb + g[..., None] * tint
+        if mask_to_alpha:
+            alpha = 1.0 - jnp.exp(-dens * dts)
+            scaled = jnp.clip(mask * alpha, 0.0, 1.0 - 1e-7)
+            dens = jnp.where(dts > 0.0, -jnp.log1p(-scaled) / jnp.maximum(dts, 1e-12), dens)
         return rgb, dens, valid
 
     @staticmethod

@@ -469,7 +469,8 @@ def test_nerf_render_modes():
     params = state["params"]
     bf = jnp.ones_like(state["occ"]["bitfield"])
     outs = {}
-    for mode in (None, "shade", "positions", "depth", "ao", "normals", "cost"):
+    for mode in (None, "shade", "positions", "depth", "ao", "normals", "cost",
+                 "encoding_vis", "glow:1:0.0", "glow:7:0.8", "glow:25:0.8"):
         rgba, depth = eng.render_frame(
             params, bf, 12, 12, eng.xforms[0], (12.0, 12.0), render_mode=mode
         )
@@ -487,6 +488,15 @@ def test_nerf_render_modes():
     # normals mode maps unit vectors into [0,1]^3 * alpha
     nm = outs["normals"]
     assert (nm[..., :3] >= -1e-5).all() and (nm[..., :3] <= 1.0 + 1e-5).all()
+    # encoding_vis composites warped positions in [0,1]
+    ev = outs["encoding_vis"]
+    assert not np.allclose(outs["shade"], ev)
+    assert (ev[..., :3] >= -1e-5).all() and (ev[..., :3] <= 1.0 + 1e-5).all()
+    # glow with y_cutoff=0 has an empty band over a [0,1] scene -> == shade;
+    # raising the cutoff lights the band (testbed_nerf.cu:587-687 semantics)
+    np.testing.assert_allclose(outs["glow:1:0.0"], outs["shade"], atol=1e-6)
+    assert not np.allclose(outs["glow:7:0.8"], outs["shade"])
+    assert not np.allclose(outs["glow:25:0.8"], outs["shade"])
     # ray-level API agrees on modes too
     o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -0.2]), (16, 3))
     d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))
