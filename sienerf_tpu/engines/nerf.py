@@ -959,6 +959,12 @@ class NerfEngine:
         if pixel_offset is None:
             pixel_offset = jnp.asarray([0.5, 0.5], jnp.float32)
         cam_spec = (width, height, focal_length, camera_matrix, screen_center, pixel_offset)
+        if render_mode == "distortion":
+            # 2D mode, no marching (init_rays_with_payload_kernel_nerf
+            # Distortion branch, testbed_geometry_training.cu:1980-1989)
+            return self._render_distortion_frame(
+                params, width, height, camera_matrix, focal_length, screen_center
+            )
         params = self._render_params(params)
         from sienerf_tpu.ops.occupancy import occupied_bbox
 
@@ -1047,6 +1053,37 @@ class NerfEngine:
         else:
             rgb = rgb + (1.0 - opacity)[:, None] * bg
         rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+        return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+    def _render_distortion_frame(self, params, width, height, camera_matrix,
+                                 focal_length, screen_center):
+        """Distortion render mode: HSV color wheel of each pixel's uv
+        displacement (x64) from lens undistortion + the trainable distortion
+        map — the distorted ray's t=1 point projected back through the
+        pinhole model vs the pixel's own uv
+        (testbed_geometry_training.cu:1980-1989; to_rgb common_device.cuh:737).
+        Returns (rgba (H,W,4), depth (H,W)) like render_frame."""
+        from sienerf_tpu.ops.tonemap import flow_to_rgb
+        from sienerf_tpu.utils.camera import pixel_grid_uv
+
+        uv = pixel_grid_uv(width, height).reshape(-1, 2)
+        dist = params.get("distortion") if hasattr(params, "get") else None
+        o, d = uv_to_ray(
+            uv, (width, height), focal_length, camera_matrix, screen_center,
+            self.lens, distortion_grid=dist,
+        )
+        cam = jnp.asarray(camera_matrix, jnp.float32)
+        dc = d @ cam[:, :3]  # world dir -> camera coords (R^T d)
+        fl = jnp.asarray(focal_length, jnp.float32)
+        sc = jnp.asarray(screen_center, jnp.float32)
+        z = jnp.where(jnp.abs(dc[:, 2]) < 1e-9, 1e-9, dc[:, 2])
+        uv2 = jnp.stack(
+            [dc[:, 0] / z * fl[0] / width + sc[0],
+             dc[:, 1] / z * fl[1] / height + sc[1]], axis=-1,
+        )
+        rgb = flow_to_rgb((uv2 - uv) * 64.0)
+        rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[:, :1])], axis=-1)
+        depth = jnp.ones((width * height,), jnp.float32)
         return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
     def _frame_make_rays(self, ids, n, cam_spec, bounds=None):

@@ -351,6 +351,34 @@ class SdfEngine:
         t0 = jnp.maximum(tmin, 0.0)
         t1 = jnp.maximum(tmax, t0)
 
+        if render_mode.startswith("slice"):
+            # SDF slice plane (testbed_sdf.cu:891-975): skip tracing, eval
+            # the SDF where each ray crosses the camera-facing plane at
+            # z-depth "slice[:z]" (default: the aabb center's depth), color
+            # = tcnn extract_dimension_pos_neg — negative (inside) in red,
+            # positive (outside) in green
+            parts = render_mode.split(":")
+            cam = jnp.asarray(camera_matrix, jnp.float32)
+            fwd, cam_pos = cam[:, 2], cam[:, 3]
+            if len(parts) > 1:
+                zdepth = jnp.asarray(float(parts[1]), jnp.float32)
+            else:
+                zdepth = jnp.dot(fwd, jnp.asarray(self.aabb.center) - cam_pos)
+            tp = zdepth / jnp.maximum(jnp.sum(d * fwd, axis=-1), 1e-6)
+            pos = o + tp[:, None] * d
+            from sienerf_tpu.models.single_network import pack_render_params
+
+            sdf_fn = self._sdf_fn(pack_render_params(self.net, params), geom["tak"])
+            val = sdf_fn(pos)
+            color = jnp.stack(
+                [jnp.maximum(-val, 0.0), jnp.maximum(val, 0.0), jnp.zeros_like(val)],
+                axis=-1,
+            )
+            inb = self.aabb.contains(pos)
+            color = jnp.where(inb[:, None], color, jnp.asarray(background))
+            depth = jnp.where(inb, tp, jnp.inf)
+            return color.reshape(height, width, 3), depth.reshape(height, width)
+
         sun = jnp.asarray(sun_dir)
         sun = sun / jnp.linalg.norm(sun)
 

@@ -83,3 +83,27 @@ def error_overlay(rendered_rgb, gt_rgb):
     g = jnp.clip(1.5 * (1.0 - jnp.abs(e - 0.5) * 2.0), 0.0, 1.0)
     b = jnp.clip(1.0 - 1.5 * e, 0.0, 1.0)
     return jnp.concatenate([r, g, b], axis=-1)
+
+
+def hsv_to_rgb(h, s, v):
+    """Vectorized HSV -> RGB (common_device.cuh:714-736)."""
+    h = jnp.mod(h, 1.0) * 6.0
+    i = jnp.floor(h).astype(jnp.int32)
+    f = h - i.astype(jnp.float32)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    conds = [i == k for k in range(6)]
+    r = jnp.select(conds, [v, q, p, p, t, v], v)
+    g = jnp.select(conds, [t, v, v, q, p, p], p)
+    b = jnp.select(conds, [p, p, t, v, v, q], q)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.where(s[..., None] == 0.0, v[..., None], rgb)
+
+
+def flow_to_rgb(flow):
+    """2D vector field -> HSV color wheel (to_rgb, common_device.cuh:737):
+    hue = direction, value = magnitude."""
+    h = jnp.arctan2(flow[..., 1], flow[..., 0]) / (2.0 * jnp.pi) + 0.5
+    mag = jnp.linalg.norm(flow, axis=-1)
+    return hsv_to_rgb(h, jnp.ones_like(mag), mag)

@@ -497,6 +497,19 @@ def test_nerf_render_modes():
     np.testing.assert_allclose(outs["glow:1:0.0"], outs["shade"], atol=1e-6)
     assert not np.allclose(outs["glow:7:0.8"], outs["shade"])
     assert not np.allclose(outs["glow:25:0.8"], outs["shade"])
+    # distortion mode: uv-displacement color wheel — black without a
+    # distortion map, lit once one is present (testbed_geometry_training.cu:1980)
+    dz, _ = eng.render_frame(
+        params, bf, 12, 12, eng.xforms[0], (12.0, 12.0), render_mode="distortion"
+    )
+    dz = np.asarray(dz)
+    assert np.allclose(dz[..., :3], 0.0, atol=1e-4), dz[..., :3].max()
+    p2 = dict(params)
+    p2["distortion"] = jnp.full((8, 8, 2), 0.05, jnp.float32)
+    dw, _ = eng.render_frame(
+        p2, bf, 12, 12, eng.xforms[0], (12.0, 12.0), render_mode="distortion"
+    )
+    assert float(np.asarray(dw)[..., :3].max()) > 0.1
     # ray-level API agrees on modes too
     o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -0.2]), (16, 3))
     d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))

@@ -124,6 +124,27 @@ def test_gt_render_modes_run(trained_bunny):
         assert np.isfinite(np.asarray(img)).all(), mode
 
 
+def test_slice_render_mode(trained_bunny):
+    """Slice plane (testbed_sdf.cu:891-975): SDF values on the camera-facing
+    plane, negative (inside) in red / positive (outside) in green."""
+    eng, state, losses = trained_bunny
+    cam = look_at_matrix([0.5, 0.5, -0.9], [0.5, 0.5, 0.5])
+    img, depth = eng.render_frame(
+        state["params"], None, 24, 24, cam, render_mode="slice",
+        background=(0.0, 0.0, 0.0),
+    )
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img[..., 2].max() == 0.0  # blue channel unused
+    assert img[..., 0].max() > 0.0  # some inside (negative sdf)
+    assert img[..., 1].max() > 0.0  # some outside (positive sdf)
+    # explicit plane depth variant parses and runs
+    img2, _ = eng.render_frame(
+        state["params"], None, 8, 8, cam, render_mode="slice:1.4"
+    )
+    assert np.isfinite(np.asarray(img2)).all()
+
+
 def test_fd_normals_match_analytic():
     """6-tap finite-difference normals (reference
     FiniteDifferenceNormalsApproximator) match autodiff normals on a smooth
