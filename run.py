@@ -49,6 +49,15 @@ def parse_args(argv=None):
                    "from the scene's NeRF objects before rendering (the "
                    "reference CLI's computeEnvmapGrid startup step, "
                    "main.cu:184-188)")
+    # camera-path video (reference scripts/run.py --video_* flags)
+    p.add_argument("--video_camera_path", default=None,
+                   help='camera path json (CameraPath.save format), or "orbit"')
+    p.add_argument("--video_output", default="video.mp4")
+    p.add_argument("--video_fps", type=int, default=30)
+    p.add_argument("--video_n_seconds", type=float, default=2.0)
+    p.add_argument("--video_spp", type=int, default=2)
+    p.add_argument("--video_w", type=int, default=640)
+    p.add_argument("--video_h", type=int, default=360)
     return p.parse_args(argv)
 
 
@@ -168,6 +177,25 @@ def main(argv=None):
 
     if args.save_mesh:
         sess.save_mesh(args.save_mesh, resolution=args.marching_cubes_res)
+
+    if args.video_camera_path:
+        from sienerf_tpu.utils.camera_path import CameraPath, render_video
+
+        if args.video_camera_path == "orbit":
+            cp = CameraPath.orbit([0.5, 0.5, 0.5], radius=1.2, height=0.35)
+        else:
+            cp = CameraPath.load(args.video_camera_path)
+        n_frames = max(2, int(args.video_fps * args.video_n_seconds))
+        kw = {"renderer": args.renderer} if args.renderer != "live" else {}
+        t0 = time.time()
+        render_video(
+            sess, cp, args.video_output, width=args.video_w, height=args.video_h,
+            n_frames=n_frames, fps=args.video_fps, spp=args.video_spp, **kw,
+        )
+        log.success(
+            f"video: {n_frames} frames -> {args.video_output} "
+            f"({time.time() - t0:.1f}s)"
+        )
 
     return 0
 
