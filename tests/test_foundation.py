@@ -137,3 +137,26 @@ def test_latlong_roundtrip():
     uv2 = dir_to_latlong_uv(d)
     assert np.allclose(uv2[..., 0], uu, atol=1e-5)
     assert np.allclose(uv2[..., 1], vv, atol=1e-5)
+
+
+def test_hsv_flow_helpers():
+    """hsv_to_rgb matches the reference switch table (common_device.cuh:714);
+    flow_to_rgb maps +x to hue 0.5 (cyan-ish) with value = |flow|."""
+    import jax.numpy as jnp
+
+    from sienerf_tpu.ops.tonemap import flow_to_rgb, hsv_to_rgb
+
+    h = jnp.asarray([0.0, 1 / 6, 2 / 6, 3 / 6, 4 / 6, 5 / 6])
+    one = jnp.ones_like(h)
+    rgb = np.asarray(hsv_to_rgb(h, one, one))
+    exp = np.asarray(
+        [[1, 0, 0], [1, 1, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1], [1, 0, 1]],
+        np.float32,
+    )
+    assert np.allclose(rgb, exp, atol=1e-5), rgb
+    # s == 0 -> gray
+    g = np.asarray(hsv_to_rgb(jnp.asarray([0.3]), jnp.asarray([0.0]), jnp.asarray([0.7])))
+    assert np.allclose(g, 0.7)
+    f = np.asarray(flow_to_rgb(jnp.asarray([[0.5, 0.0], [0.0, 0.0]])))
+    assert np.allclose(np.linalg.norm(f[0]), 0.5 * np.linalg.norm([0, 1, 1]), atol=1e-5)
+    assert np.allclose(f[1], 0.0)
