@@ -77,7 +77,7 @@ def main():
         np.ceil(np.sqrt(3.0) * (2 ** (K - 1) / R) / (MIN_CONE_STEPSIZE * SS))
     ) + 2
 
-    def stage(level, o, d, t0, t1, p):
+    def stage(level, o, d, t0, t1, p, grid, bitfield):
         t = advance_to_occupied(eng.march, bitfield, o, d, t0, t1, ADV)
         if level == 0:
             return jnp.sum(t)
@@ -124,17 +124,20 @@ def main():
     composite_total = 0.0
     for lv in range(8):
 
+        # grid/bitfield MUST be jit arguments, not closure captures: captured
+        # device arrays become HLO constants and poison gathers ~100x
+        # (NOTES_ROUND1.md measured fact #2) — production threads them as args
         @partial(jax.jit, static_argnums=0)
-        def run(lv, o, d, t0, t1, p, iters=8):
+        def run(lv, o, d, t0, t1, p, grid, bitfield, iters=8):
             def body(i, acc):
-                return acc + stage(lv, o, d, t0 + i * 1e-4, t1, p)
+                return acc + stage(lv, o, d, t0 + i * 1e-4, t1, p, grid, bitfield)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        r = run(lv, o, d, t0, t1, params)
+        r = run(lv, o, d, t0, t1, params, grid, bitfield)
         float(r)
         t = time.time()
-        r = run(lv, o, d, t0, t1, params)
+        r = run(lv, o, d, t0, t1, params, grid, bitfield)
         float(r)
         dt = (time.time() - t) / 8
         print(f"{names[lv]:12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-prev):7.2f})")
@@ -169,7 +172,7 @@ def main():
     )
 
     @jax.jit
-    def run_full(st, p, iters=8):
+    def run_full(st, p, grid, bitfield, rays_pre, iters=8):
         def body(i, s):
             return _baked_round(
                 eng, s, p, grid, meta, bitfield, n, rays_pre, P, EV, SS, 24, ADV
@@ -177,10 +180,10 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, st)
 
-    out = run_full(st, params)
+    out = run_full(st, params, grid, bitfield, rays_pre)
     jax.block_until_ready(out["out"])
     t = time.time()
-    out = run_full(st, params)
+    out = run_full(st, params, grid, bitfield, rays_pre)
     jax.block_until_ready(out["out"])
     dt = (time.time() - t) / 8
     print(f"{'full round':12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-composite_total):7.2f} = flush/refill)")
