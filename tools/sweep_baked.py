@@ -61,6 +61,13 @@ CONFIG_SETS = {
         dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0,
              init_advance_iters=0),
     ],
+    # quick 3-config set for flag A/Bs (e.g. SIENERF_PALLAS_GATHER=1):
+    # reference-quality, r2-best, and the lean-round variant
+    "best": [
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0, flush_every=2),
+    ],
 }
 
 
