@@ -33,30 +33,32 @@ def main():
     key = jax.random.PRNGKey(7)
     data = eng.data
 
-    def fwd(p, kk):
+    # bitfield/data/emap are jit ARGS, not closure captures: captured device
+    # arrays become HLO constants and poison gathers ~100x (NOTES_ROUND1 #2)
+    def fwd(p, bitfield, data, emap, kk):
         loss, _ = eng._loss_for_batch(
-            p, state["occ"]["bitfield"], data, kk, n_rays,
-            state.get("emap"), state["step"], k, iters,
+            p, bitfield, data, kk, n_rays,
+            emap, state["step"], k, iters,
         )
         return loss
 
     @jax.jit
-    def run_fwd(p, key, n=8):
+    def run_fwd(p, bitfield, data, emap, key, n=8):
         def body(i, acc):
-            return acc + fwd(p, jax.random.fold_in(key, i))
+            return acc + fwd(p, bitfield, data, emap, jax.random.fold_in(key, i))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @jax.jit
-    def run_grad(p, key, n=8):
+    def run_grad(p, bitfield, data, emap, key, n=8):
         def body(i, acc):
-            l, g = jax.value_and_grad(fwd)(p, jax.random.fold_in(key, i))
+            l, g = jax.value_and_grad(fwd)(p, bitfield, data, emap, jax.random.fold_in(key, i))
             return acc + l + sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @jax.jit
-    def run_step(st, key, n=8):
+    def run_step(st, data, key, n=8):
         def body(i, st):
             st2, loss, cnt = eng._train_one_step(
                 st, data, jax.random.fold_in(key, i), n_rays, None, k, iters
@@ -65,10 +67,12 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, st)
 
+    bitfield = state["occ"]["bitfield"]
+    emap = state.get("emap")
     names_fns = [
-        ("forward", lambda: run_fwd(state["params"], key)),
-        ("+grad", lambda: run_grad(state["params"], key)),
-        ("full step", lambda: run_step(state, key)),
+        ("forward", lambda: run_fwd(state["params"], bitfield, data, emap, key)),
+        ("+grad", lambda: run_grad(state["params"], bitfield, data, emap, key)),
+        ("full step", lambda: run_step(state, data, key)),
     ]
     prev = 0.0
     for name, f in names_fns:
