@@ -42,21 +42,24 @@ def main():
     # longer-trained cached field when one exists — the reference's headline
     # "tens of ms" figure is likewise measured on converged scenes.  Fresh
     # boxes fall back to a short train.
-    cache = next(
-        (p for p in (Path(".cache/fox_16k.pkl"), Path(".cache/fox_4k.pkl"))
-         if p.exists()),
-        Path(".cache/fox_4k.pkl"),
-    )
-    if cache.exists():
-        with open(cache, "rb") as fh:
-            blob = pickle.load(fh)
+    state = None
+    for cache in (Path(".cache/fox_16k.pkl"), Path(".cache/fox_4k.pkl")):
+        if not cache.exists():
+            continue
+        try:  # a cache file may be mid-write if a training campaign was killed
+            with open(cache, "rb") as fh:
+                blob = pickle.load(fh)
+        except Exception as e:  # noqa: BLE001 - fall back to the next cache
+            print(f"# cache {cache} unreadable ({e!r}); falling back", file=sys.stderr)
+            continue
         state = jax.tree.map(jnp.asarray, blob["state"])
         eng._phase = blob["phase"]
         if blob.get("mean_samples"):
             eng._mean_samples = blob["mean_samples"]
         n_steps = int(state["step"])
-        print(f"# loaded cached fox field at step {n_steps}", file=sys.stderr)
-    else:
+        print(f"# loaded cached fox field at step {n_steps} ({cache})", file=sys.stderr)
+        break
+    if state is None:
         state = eng.init(0)
         key = jax.random.PRNGKey(0)
         n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 48
