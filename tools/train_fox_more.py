@@ -59,13 +59,17 @@ def main():
     print(f"train-view PSNR: {psnr:.2f} {['%.1f' % p for p in per]}")
 
     if cache_out:
-        with open(CACHE / cache_out, "wb") as fh:
+        # atomic write: a killed run must not leave a truncated cache that
+        # poisons later consumers (bench.py falls back, but don't rely on it)
+        tmp = CACHE / (cache_out + ".tmp")
+        with open(tmp, "wb") as fh:
             pickle.dump(
                 {"state": jax.tree.map(np.asarray, state),
                  "phase": getattr(eng, "_phase", "fast"),
                  "mean_samples": getattr(eng, "_mean_samples", None)},
                 fh,
             )
+        tmp.replace(CACHE / cache_out)
         print(f"# saved {cache_out}")
 
 
