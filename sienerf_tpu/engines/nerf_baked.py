@@ -40,7 +40,7 @@ from sienerf_tpu.models.nerf_network import (
 from sienerf_tpu.ops.baked import (
     baked_features,
     cascade_extent,
-    compact_candidates,
+    compact_candidates_auto,
     lookup_bits,
     merge_same_vertex_runs,
     nearest_vertex_ids,
@@ -280,7 +280,7 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         ) + 2
         if bound < P:
             keep, dts = merge_same_vertex_runs(flat, keep, dts, max_run=bound)
-        kept, ts_c, dts_c = compact_candidates(keep, evals + 1, ts, dts)
+        kept, ts_c, dts_c = compact_candidates_auto(keep, evals + 1, ts, dts)
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)
         kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]

@@ -183,6 +183,43 @@ def compact_candidates(keep: jnp.ndarray, n_keep: int, *arrays):
     return (kept,) + out
 
 
+def compact_candidates_auto(keep: jnp.ndarray, n_keep: int, *arrays):
+    """Dispatch between the sort-network and one-hot-MXU compactions
+    (SIENERF_COMPACT=sort|onehot before import; A/B knob for the renderer —
+    tools/sweep_baked.py measures both on real TPU)."""
+    import os
+
+    if os.environ.get("SIENERF_COMPACT", "sort") == "onehot":
+        return compact_candidates_onehot(keep, n_keep, *arrays)
+    return compact_candidates(keep, n_keep, *arrays)
+
+
+def compact_candidates_onehot(keep: jnp.ndarray, n_keep: int, *arrays):
+    """Same contract as compact_candidates, sort-free: destination slot =
+    exclusive prefix count of `keep`, routed by ONE batched one-hot
+    contraction on the MXU (which is otherwise idle during the cull) instead
+    of a width-P sort network on the VPU.  Candidate chains are short
+    (P<=128), so the (P x n_keep) one-hot per ray is tiny; everything stays
+    sample-major.
+
+    Padded slots return 0 in every array (vs whatever the sort path parks
+    there) — callers mask by `kept`, so the difference is unobservable."""
+    A, P = keep.shape
+    dest = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1  # inclusive-1: slot id
+    s = jnp.arange(n_keep, dtype=jnp.int32)
+    onehot = (keep[..., None] & (dest[..., None] == s[None, None, :])).astype(
+        jnp.float32
+    )  # (A, P, S)
+    vals = jnp.stack(arrays, axis=-1).astype(jnp.float32)  # (A, P, V)
+    out_sv = jnp.einsum("aps,apv->asv", onehot, vals)  # (A, S, V)
+    n_sel = dest[:, -1] + 1  # kept count per ray
+    kept = s[None, :] < n_sel[:, None]
+    out = tuple(
+        out_sv[..., v].astype(arrays[v].dtype) for v in range(len(arrays))
+    )
+    return (kept,) + out
+
+
 def baked_features(
     rows: jnp.ndarray,
     scale: jnp.ndarray,

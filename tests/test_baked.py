@@ -305,3 +305,21 @@ def test_pallas_gather_rows_interpret():
     out = gather_rows(table, idx, block=128, window=8, interpret=True)
     ref = jnp.take(table, jnp.clip(idx, 0, (1 << 10) - 1), axis=0)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_compact_candidates_onehot_equivalence():
+    """One-hot-MXU compaction matches the sort-network compaction on every
+    kept slot (padded slots differ by design and are masked by callers)."""
+    from sienerf_tpu.ops.baked import compact_candidates, compact_candidates_onehot
+
+    key = jax.random.PRNGKey(11)
+    A, P, S = 64, 32, 9
+    keep = jax.random.uniform(key, (A, P)) < 0.4
+    ts = jnp.cumsum(jax.random.uniform(jax.random.PRNGKey(12), (A, P)), axis=1)
+    dts = jax.random.uniform(jax.random.PRNGKey(13), (A, P))
+    k1, t1, d1 = compact_candidates(keep, S, ts, dts)
+    k2, t2, d2 = compact_candidates_onehot(keep, S, ts, dts)
+    assert np.array_equal(np.asarray(k1), np.asarray(k2))
+    m = np.asarray(k1)
+    assert np.allclose(np.asarray(t1)[m], np.asarray(t2)[m])
+    assert np.allclose(np.asarray(d1)[m], np.asarray(d2)[m])
