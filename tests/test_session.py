@@ -330,3 +330,50 @@ def test_nerf_render_spp_accumulation(tmp_path):
                        camera_matrix_end=cam_end)
     assert blur.shape == (16, 16, 4)
     assert np.isfinite(blur).all()
+
+
+def test_pyngp_compat_nerf_camera_and_mesh_ops():
+    """Round-trip the reference camera/view/param bindings added for parity
+    (python_api.cu: set_camera_to_training_view / set_nerf_camera_matrix /
+    get+set_camera_extrinsics / find_closest_training_view / n_params /
+    compute_marching_cubes_mesh)."""
+    from sienerf_tpu import pyngp_compat as ngp
+    from sienerf_tpu.engines.nerf import NerfEngine
+
+    from test_nerf_mode import make_dataset, tiny_config
+
+    ds = make_dataset()
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 12,
+                            grid_size=16, train_k=16)
+    tb = ngp.Testbed(ngp.TestbedMode.NERF)
+    tb.session.engine = eng
+    tb.session.state = eng.init(0)
+    tb.session.mode = ngp.TestbedMode.NERF
+    tb.session.dataset = ds
+
+    n_all, n_enc = tb.n_params(), tb.n_encoding_params()
+    assert 0 < n_enc < n_all
+
+    tb.set_camera_to_training_view(1)
+    assert np.allclose(tb.camera_matrix, eng.xforms[1])
+    tb.next_training_view()
+    assert np.allclose(tb.camera_matrix, eng.xforms[2 % len(eng.xforms)])
+    tb.first_training_view()
+    assert tb.find_closest_training_view() == 0
+
+    # nerf-convention round trip: get view 0 in nerf convention, set it as
+    # the current camera, expect the original ngp matrix back
+    m_nerf = tb.get_camera_extrinsics(0, convert_to_nerf=True)
+    tb.set_nerf_camera_matrix(m_nerf)
+    assert np.allclose(tb.camera_matrix, eng.xforms[0], atol=1e-5)
+
+    # set_camera_extrinsics updates host + device copies
+    tb.set_camera_extrinsics(1, m_nerf, convert_from_nerf=True)
+    assert np.allclose(np.asarray(eng.xforms[1]), eng.xforms[0], atol=1e-5)
+    assert np.allclose(np.asarray(eng.data["xforms"][1]), eng.xforms[0], atol=1e-5)
+
+    out = tb.render(16, 16)
+    assert out.shape == (16, 16, 4) and np.isfinite(out).all()
+
+    mesh = tb.compute_marching_cubes_mesh(resolution=24, thresh=0.5)
+    assert set(mesh) >= {"V", "F"}
