@@ -143,6 +143,43 @@ def bench_xla(T, C, N, iters=8):
     return N / dt
 
 
+def bench_xla_coherent(T, C, N, run_len=64, iters=8):
+    """XLA gather with RAY-COHERENT indices: consecutive groups of run_len
+    indices walk small strides (1 / Rv / Rv^2 voxel steps) from a random
+    base — the actual access pattern of baked candidate chains.  If this
+    beats the random-index plateau, the 91M rows/s wall is an address-
+    locality effect and a Morton-ordered bake layout is the fix."""
+    Rv = 257
+    table = jnp.arange(T * C, dtype=jnp.int32).reshape(T, C)
+    n_rays = N // run_len
+    key = jax.random.PRNGKey(1)
+    base = jax.random.randint(key, (n_rays, 1), 0, T - 3 * run_len * Rv * Rv, dtype=jnp.int32)
+    steps = jnp.asarray(
+        np.random.default_rng(2).choice([1, Rv, Rv * Rv], size=(n_rays, run_len)), jnp.int32
+    )
+    idx = (base + jnp.cumsum(steps, axis=1)).reshape(-1) % T
+
+    @jax.jit
+    def run(table, idx):
+        def body(i, acc):
+            out = jnp.take(table, (idx + i) % T, axis=0)
+            return acc + out[0, 0] + out[-1, -1]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    r = run(table, idx)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    r = run(table, idx)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    print(
+        f"xla-co T={T:>9} ({T*C*4/1e6:7.1f}MB) C={C:2d} run={run_len}:   "
+        f"{dt*1e3:8.2f} ms  {N/dt/1e6:7.1f} M rows/s  {N*C*4/dt/1e9:6.2f} GB/s"
+    )
+    return N / dt
+
+
 def main():
     interpret = "--interpret" in sys.argv
     if interpret:
@@ -155,6 +192,8 @@ def main():
     N = 1 << 20
     big = 50_000_000  # ~0.8GB at C=4 — the baked table regime
     bench_xla(big, 4, N)
+    bench_xla_coherent(big, 4, N, run_len=64)
+    bench_xla_coherent(big, 4, N, run_len=8)
     for W in (8, 16, 32):
         bench(big, 4, N, g=1, window=W)
     bench(big, 4, N, g=1, block=1024, window=32)
