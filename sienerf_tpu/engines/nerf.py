@@ -158,6 +158,13 @@ class NerfEngine:
     # rolling shutter / motion blur: per-pixel camera slerp between start and
     # end xforms (common_device.cuh:656-659); vec4 (t0, du, dv, motionblur)
     rolling_shutter: np.ndarray | None = None
+    # per-image extra-dim conditioning (nerf_loader.h:85-87): fixed light
+    # directions (first 3 dims, not optimized) and/or learnable latent
+    # appearance codes (reset_extra_dims testbed_nerf.cu:3680-3700; gradient
+    # via autodiff instead of compute_extra_dims_gradient_train_nerf's
+    # atomic splat, testbed_nerf.cu:1323-1359)
+    light_dirs: np.ndarray | None = None  # (N, 3) NGP-axis unit vectors
+    optimize_extra_dims: bool = False
     # host-side dataset copies (set by create()); device copies live in .data
     images: np.ndarray | None = None
     xforms: np.ndarray | None = None
@@ -181,10 +188,12 @@ class NerfEngine:
         near_reg_fraction: float = 0.25,
     ) -> "NerfEngine":
         aabb_scale = dataset.aabb_scale
+        light_dirs = getattr(dataset, "light_dirs", None)
+        n_extra = dataset.n_extra_learnable_dims + (3 if light_dirs is not None else 0)
         net = NerfNetworkConfig.from_network_config(
             network_config,
             aabb_scale=aabb_scale,
-            n_extra_dims=dataset.n_extra_learnable_dims,
+            n_extra_dims=n_extra,
             hdr=dataset.is_hdr,
         )
         opt = OptimizerSpec.from_network_config(network_config.get("optimizer", {}))
@@ -213,6 +222,8 @@ class NerfEngine:
             lens=dataset.lens,
             near_density_reg=near_density_reg,
             near_reg_fraction=near_reg_fraction,
+            light_dirs=None if light_dirs is None else np.asarray(light_dirs, np.float32),
+            optimize_extra_dims=dataset.n_extra_learnable_dims > 0,
         )
         if dataset.xforms_end is not None:
             eng.rolling_shutter = np.asarray(dataset.rolling_shutter, np.float32)
@@ -271,6 +282,9 @@ class NerfEngine:
                 principal_points=np.full((1, 2), 0.5, np.float32),
                 resolution=(8, 8),
                 aabb_scale=aabb_scale,
+                n_extra_learnable_dims=int(
+                    out["meta"].get("n_extra_learnable_dims", 0)
+                ),
             )
         eng = NerfEngine.create(out["config"], dataset, train_batch_size=train_batch_size)
         state = eng.init(0)
@@ -314,6 +328,19 @@ class NerfEngine:
         if self.optimize_distortion:
             r = self.distortion_resolution
             params["distortion"] = jnp.zeros((r, r, 2), jnp.float32)
+        if self.net.n_extra_dims:
+            # per-image extra-dim rows (reset_extra_dims,
+            # testbed_nerf.cu:3680-3700): random U[-1,1] latent codes;
+            # fixed light dirs (warp_direction'd to [0,1]) fill the first
+            # 3 dims when the dataset ships them
+            n_img = self.images.shape[0]
+            ex = jax.random.uniform(
+                jax.random.fold_in(key, 99),
+                (n_img, self.net.n_extra_dims), jnp.float32, -1.0, 1.0,
+            )
+            if self.light_dirs is not None:
+                ex = ex.at[:, :3].set(jnp.asarray((self.light_dirs + 1.0) * 0.5))
+            params["extra_dims"] = ex
         if self.train_envmap:
             if self.envmap_init is not None:
                 params["envmap"] = jnp.asarray(self.envmap_init, jnp.float32)
@@ -351,9 +378,20 @@ class NerfEngine:
         t1 = jnp.maximum(tmax, t0)
         return t0, t1
 
-    def _eval_samples(self, params, origins, dirs, ts, dts, counts):
+    def _render_extra(self, params):
+        """Default extra-dim row used for rendering: training view 0's code
+        (get_rendering_extra_dims, testbed_nerf.cu:3700-3716; the rendering
+        buffer is reset from view 0).  Render entry points accept an
+        explicit `extra_row` to select another view's code."""
+        if self.net.n_extra_dims and "extra_dims" in params:
+            return params["extra_dims"][0]
+        return None
+
+    def _eval_samples(self, params, origins, dirs, ts, dts, counts, extra=None):
         """Evaluate the field at (N,K) marched samples; returns activated
-        rgb (N,K,3), density (N,K), valid (N,K)."""
+        rgb (N,K,3), density (N,K), valid (N,K).  `extra`: optional
+        extra-dim conditioning — (E,) one row for all rays, or (N,E)
+        per-ray; None falls back to the rendering default row."""
         N, K = ts.shape
         valid = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1) < counts[:, None]
         pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
@@ -361,8 +399,18 @@ class NerfEngine:
         unit = jnp.clip(unit, 0.0, 1.0)
         dirw = (dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1.0) * 0.5
         dirw = jnp.broadcast_to(dirw[:, None, :], pos.shape)
+        ex = None
+        if self.net.n_extra_dims:
+            if extra is None:
+                extra = self._render_extra(params)
+            if extra is not None:
+                E = self.net.n_extra_dims
+                if extra.ndim == 1:
+                    ex = jnp.broadcast_to(extra, (N * K, E))
+                else:
+                    ex = jnp.broadcast_to(extra[:, None, :], (N, K, E)).reshape(-1, E)
         rgb_raw, dens_raw = nerf_apply(
-            self.net, params, unit.reshape(-1, 3), dirw.reshape(-1, 3)
+            self.net, params, unit.reshape(-1, 3), dirw.reshape(-1, 3), extra=ex
         )
         rgb = apply_rgb_activation(rgb_raw, self.net.rgb_activation).reshape(N, K, 3)
         dens = apply_density_activation(dens_raw, self.net.density_activation).reshape(N, K)
@@ -459,7 +507,17 @@ class NerfEngine:
             pos = o_s + t_f[:, None] * d_s
             unit = jnp.clip((pos - self.aabb.min) / self.aabb.diag, 0.0, 1.0)
             dirw = (d_s + 1.0) * 0.5
-            rgb_raw, dens_raw = nerf_apply(self.net, params, unit, dirw)
+            ex_s = None
+            if self.net.n_extra_dims and "extra_dims" in params:
+                # per-sample extra dims gathered by the sample's source
+                # image (testbed_nerf.cu:788 extra_dims_gpu + img*n_extra);
+                # autodiff's segment-sum back through this gather IS the
+                # reference's atomic per-image gradient reduction
+                # (compute_extra_dims_gradient_train_nerf)
+                ex_s = jnp.take(
+                    params["extra_dims"], jnp.take(ray_meta[0], rid), axis=0
+                )
+            rgb_raw, dens_raw = nerf_apply(self.net, params, unit, dirw, extra=ex_s)
             rgb_s = apply_rgb_activation(rgb_raw, self.net.rgb_activation)
             dens_s = apply_density_activation(dens_raw, self.net.density_activation)
             rgb_sum, opacity, T_out, depth_pred = composite_flat(
@@ -475,7 +533,12 @@ class NerfEngine:
             # condition is implicit there).
             fits = fits & ((t_end >= t1) | (T_out < self.min_transmittance))
         else:
-            rgb, dens, valid = self._eval_samples(params, origins, dirs_n, ts, dts, counts)
+            ex_r = None
+            if self.net.n_extra_dims and "extra_dims" in params:
+                ex_r = jnp.take(params["extra_dims"], ray_meta[0], axis=0)
+            rgb, dens, valid = self._eval_samples(
+                params, origins, dirs_n, ts, dts, counts, extra=ex_r
+            )
             T_in = jnp.ones(origins.shape[0], jnp.float32)
             rgb_sum, opacity, T_out, _, _ = composite_chunk(
                 rgb, dens, ts, dts, valid, T_in, self.min_transmittance
@@ -556,11 +619,18 @@ class NerfEngine:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
         lr_mask = None
-        if self.optimize_extrinsics or self.optimize_focal or self.optimize_exposure:
+        freeze_extra = "extra_dims" in state["params"] and not self.optimize_extra_dims
+        if (
+            self.optimize_extrinsics or self.optimize_focal or self.optimize_exposure
+            or freeze_extra
+        ):
             lr_mask = jax.tree.map(lambda _: 1.0, state["params"])
             for leaf in ("cam", "focal", "exposure"):
                 if leaf in state["params"]:
                     lr_mask[leaf] = self.extrinsics_lr_scale
+            if freeze_extra:
+                # fixed conditioning (light dirs): rows never move
+                lr_mask["extra_dims"] = 0.0
         params, opt = optim_step(
             self.opt, state["opt"], state["params"], grads,
             nerf_l2_mask(state["params"]), lr_mask,
@@ -720,13 +790,16 @@ class NerfEngine:
 
     # --- rendering --------------------------------------------------------
 
-    def _mode_sample_colors(self, params, origins, dirs, ts, dts, counts, render_mode):
+    def _mode_sample_colors(self, params, origins, dirs, ts, dts, counts, render_mode,
+                            extra=None):
         """Per-sample colors for a render visualisation mode — the TPU
         equivalent of composite_kernel_nerf's per-mode branches
         (testbed_nerf.cu:688-702): positions / depth / AO replace the
         sample color; normals composite the (negated, chain-ruled) density
         position-gradient and normalize in the epilogue."""
-        rgb, dens, valid = self._eval_samples(params, origins, dirs, ts, dts, counts)
+        rgb, dens, valid = self._eval_samples(
+            params, origins, dirs, ts, dts, counts, extra=extra
+        )
         mode = render_mode or "shade"
         if mode in ("shade", "cost"):
             return rgb, dens, valid
@@ -830,6 +903,7 @@ class NerfEngine:
     def render_rays(
         self, params, bitfield, origins, dirs, near=None, t_cap=None,
         min_transmittance=None, fine_bitfield=None, render_mode=None,
+        extra_row=None,
     ):
         """Fixed-size ray batch -> (rgb (N,3), opacity (N,), depth (N,)).
 
@@ -885,7 +959,8 @@ class NerfEngine:
             active = (T >= minT) & (t < t1) & (used < budget)
             counts = jnp.where(active, counts, 0)
             rgb, dens, valid = self._mode_sample_colors(
-                params, origins, dirs_n, ts, dts, counts, render_mode
+                params, origins, dirs_n, ts, dts, counts, render_mode,
+                extra=extra_row,
             )
             rgb_sum, opacity, T_out, bw, bt = composite_chunk(
                 rgb, dens, ts, dts, valid, T, minT
@@ -941,6 +1016,7 @@ class NerfEngine:
         fine_bitfield=None,
         pixel_offset=None,
         render_mode=None,
+        extra_row=None,
     ):
         """Render a full frame with a streaming persistent ray buffer.
 
@@ -1030,7 +1106,8 @@ class NerfEngine:
 
         def body(s):
             return self._frame_round(
-                s, params, bitfield, n, rays_pre, fine_bitfield, render_mode
+                s, params, bitfield, n, rays_pre, fine_bitfield, render_mode,
+                extra_row=extra_row,
             )
 
         s = jax.lax.while_loop(cond, body, state)
@@ -1195,7 +1272,7 @@ class NerfEngine:
         return o, d, dn, t0, t1
 
     def _frame_round(self, s, params, bitfield, n, rays_pre, fine_bitfield=None,
-                     render_mode=None):
+                     render_mode=None, extra_row=None):
         """One streaming-renderer round: march a chunk, evaluate + composite,
         flush finished rays to the packed output, refill slots."""
         ts, dts, counts, t_end = march_rays(
@@ -1203,7 +1280,7 @@ class NerfEngine:
             self.render_chunk, self._march_iters(), fine=fine_bitfield,
         )
         rgb, dens, valid_s = self._mode_sample_colors(
-            params, s["o"], s["d"], ts, dts, counts, render_mode
+            params, s["o"], s["d"], ts, dts, counts, render_mode, extra=extra_row
         )
         rgb_sum, opacity, T_out, bw, bt = composite_chunk(
             rgb, dens, ts, dts, valid_s, s["T"], s["minT"]

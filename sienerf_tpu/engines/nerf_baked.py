@@ -215,7 +215,10 @@ def _baked_sample_colors(engine, params, grid, meta, o, d, ts, valid):
     sh = jnp.broadcast_to(sh[:, None, :], (A, P, sh.shape[-1])).reshape(A * P, -1)
     parts = [sh]
     if engine.net.n_extra_dims:
-        parts.append(jnp.zeros((A * P, engine.net.n_extra_dims), jnp.float32))
+        row = engine._render_extra(params)
+        if row is None:
+            row = jnp.zeros((engine.net.n_extra_dims,), jnp.float32)
+        parts.append(jnp.broadcast_to(row, (A * P, engine.net.n_extra_dims)))
     parts.append(raw)
     rgb_raw = mlp_apply(engine.net.rgb_mlp, params["rgb_mlp"], jnp.concatenate(parts, axis=-1))
     rgb = apply_rgb_activation(rgb_raw, engine.net.rgb_activation).reshape(A, P, 3)

@@ -93,10 +93,20 @@ class NerfDataset:
     # (nerf_loader.h:67-74 envmap_data/envmap_resolution; transforms.json
     # key "envmap" = image path)
     envmap: np.ndarray | None = None  # (He, We, 4) float32 linear
+    # per-image light directions in NGP axis order (nerf_loader.cu:667-676
+    # "driver_parameters" LightX/Y/Z): FIXED per-image conditioning fed to
+    # the color MLP as the first 3 extra dims (not optimized)
+    light_dirs: np.ndarray | None = None  # (N, 3) unit vectors
 
     @property
     def n_images(self) -> int:
         return self.images.shape[0]
+
+    @property
+    def n_extra_dims(self) -> int:
+        # nerf_loader.h:85-87: light dirs occupy 3 fixed dims; learnable
+        # latent-appearance codes add n_extra_learnable_dims more
+        return (3 if self.light_dirs is not None else 0) + self.n_extra_learnable_dims
 
 
 def _resolve_image_path(base: Path, file_path: str) -> Path | None:
@@ -231,6 +241,8 @@ def load_nerf_dataset(
 
     xforms = np.zeros((len(frames), 3, 4), np.float32)
     xforms_end = np.zeros((len(frames), 3, 4), np.float32)
+    light_dirs = np.zeros((len(frames), 3), np.float32)
+    has_light_dirs = False
     any_end = False
     fls = np.zeros((len(frames), 2), np.float32)
     pps = np.zeros((len(frames), 2), np.float32)
@@ -248,6 +260,19 @@ def load_nerf_dataset(
         xforms_end[i] = nerf_matrix_to_ngp(
             np.asarray(m_end, np.float32) if m_end is not None else m_start, scale, offset
         )
+        if "driver_parameters" in fr:
+            # fixed per-image light direction (nerf_loader.cu:667-676):
+            # normalize then cycle axes nerf->ngp (xyz -> yzx)
+            dp_ = fr["driver_parameters"]
+            ld = np.asarray(
+                [float(dp_.get("LightX", 0.0)), float(dp_.get("LightY", 0.0)),
+                 float(dp_.get("LightZ", 0.0))], np.float32,
+            )
+            nrm = np.linalg.norm(ld)
+            if nrm > 0:
+                ld = ld / nrm
+                light_dirs[i] = ld[[1, 2, 0]]
+                has_light_dirs = True
         fx = focal_from(src, 0, w, h, "camera_angle_y")
         fy = focal_from(src, 1, h, w, "camera_angle_x")
         if fx is None and fy is None:
@@ -299,10 +324,14 @@ def load_nerf_dataset(
         is_hdr=is_hdr,
         depths=depths,
         sharpness=sharp,
-        n_extra_learnable_dims=int(meta.get("n_extra_learnable_dims", 0)),
+        # light-dir datasets force the learnable count to 0
+        # (nerf_loader.cu:675-676)
+        n_extra_learnable_dims=0 if has_light_dirs
+        else int(meta.get("n_extra_learnable_dims", 0)),
         paths=paths,
         rolling_shutter=rs,
         xforms_end=xforms_end if (any_end or rs.any()) else None,
         has_masks=has_masks,
         envmap=envmap,
+        light_dirs=light_dirs if has_light_dirs else None,
     )

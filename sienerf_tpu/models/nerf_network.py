@@ -141,7 +141,7 @@ def nerf_l2_mask(params: dict) -> dict:
             if isinstance(params["grid"], (list, tuple))
             else 0.0
         )
-    for extra in ("cam", "focal", "exposure", "distortion", "envmap"):
+    for extra in ("cam", "focal", "exposure", "distortion", "envmap", "extra_dims"):
         if extra in params:
             mask[extra] = 0.0
     return mask

@@ -98,6 +98,17 @@ class Testbed:
     def training_step(self) -> int:
         return self.session.training_step
 
+    @property
+    def rendering_extra_dims_from_training_view(self) -> int:
+        """Which training view's latent-appearance code renders use
+        (pyngp binding python_api.cu; get_rendering_extra_dims
+        testbed_nerf.cu:3706-3716)."""
+        return int(getattr(self.session, "rendering_extra_dims_from_training_view", 0))
+
+    @rendering_extra_dims_from_training_view.setter
+    def rendering_extra_dims_from_training_view(self, i: int):
+        self.session.rendering_extra_dims_from_training_view = int(i)
+
     # -- camera state (reference m_camera; view navigation bindings) ---------
     def _nerf_engine(self):
         eng = self.session.engine

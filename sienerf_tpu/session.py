@@ -245,6 +245,17 @@ class Session:
             renderer = kw.pop("renderer", "live")
             bake_res = kw.pop("bake_resolution", 256)
             bake_mode = kw.pop("bake_mode", "nearest")
+            # latent-appearance render view (pyngp
+            # rendering_extra_dims_from_training_view; reference
+            # get_rendering_extra_dims testbed_nerf.cu:3706-3716) — the
+            # engine defaults to view 0's code; a non-zero selection is
+            # threaded as an explicit row (live renderer only)
+            ev = int(getattr(self, "rendering_extra_dims_from_training_view", 0))
+            if (
+                ev > 0 and renderer == "live"
+                and "extra_dims" in params and "extra_row" not in kw
+            ):
+                kw["extra_row"] = params["extra_dims"][ev]
             if renderer == "baked":
                 baked = getattr(self, "_baked", None)
                 if baked is None:
@@ -420,7 +431,12 @@ class Session:
                 g = d6[:, :3] - d6[:, 3:]
                 nrm = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
                 view = nrm  # look along the inward normal (density increases inward)
-                rgb_raw, _ = nerf_apply(eng.net, params, unit, (view + 1.0) * 0.5)
+                ex = eng._render_extra(params)
+                if ex is not None:
+                    ex = jnp.broadcast_to(ex, unit.shape[:-1] + ex.shape)
+                rgb_raw, _ = nerf_apply(
+                    eng.net, params, unit, (view + 1.0) * 0.5, extra=ex
+                )
                 rgb = apply_rgb_activation(rgb_raw, eng.net.rgb_activation)
                 return jnp.concatenate([rgb, -nrm], axis=-1)  # colors + outward normals
 
