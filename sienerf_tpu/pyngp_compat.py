@@ -253,7 +253,17 @@ class Testbed:
         out = {"V": verts, "F": faces}
         if colors is not None:
             out["C"] = colors
+        # keep the in-memory mesh for optimise_mesh_step (reference m_mesh)
+        sess.mesh = {"verts": verts, "faces": faces, "thresh": iso,
+                     "amin": amin, "adiag": adiag}
         return out
+
+    def optimise_mesh_step(self, n_steps: int = 1):
+        """Refine the in-memory NeRF mesh toward the density iso-surface
+        (Testbed::optimise_mesh_step, testbed_nerf.cu:3448-3500; the GUI's
+        "Optimize mesh" checkbox runs one step per frame, testbed.cu:2979).
+        Call compute_marching_cubes_mesh first."""
+        return self.session.optimise_mesh_step(n_steps)
 
     # -- metrics --------------------------------------------------------------------
     def compute_image_mse(self, quantize: bool = False) -> float:

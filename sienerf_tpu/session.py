@@ -387,6 +387,42 @@ class Session:
 
     # --- mesh export ----------------------------------------------------------
 
+    def optimise_mesh_step(
+        self,
+        n_steps: int = 1,
+        smooth_amount: float = 2048.0,
+        density_amount: float = 128.0,
+        inflate_amount: float = 1.0,
+    ):
+        """Refine the stored in-memory mesh (set by pyngp
+        compute_marching_cubes_mesh) toward the model's density
+        iso-surface: Testbed::optimise_mesh_step, testbed_nerf.cu:3448-3500
+        — Adam on vertex positions with density-sign, laplacian-smoothing
+        and inflation terms (amount defaults testbed.h:805-807).  Returns
+        the updated vertices."""
+        from sienerf_tpu.ops.meshing import optimise_mesh
+        from sienerf_tpu.ops.optim import inference_params
+
+        mesh = getattr(self, "mesh", None)
+        if not mesh or not len(mesh.get("verts", ())):
+            raise RuntimeError("no in-memory mesh: compute_marching_cubes_mesh first")
+        params = inference_params(self.state["opt"], self.state["params"])
+        if self.mode == TestbedMode.NERF:
+            dfn = self.engine._density_fn(params)
+        elif self.mode == TestbedMode.SDF:
+            from sienerf_tpu.models.single_network import apply_single_network
+
+            dfn = lambda unit: apply_single_network(self.engine.net, params, unit)[:, 0]
+        else:
+            raise RuntimeError(f"mesh optimization unsupported for mode {self.mode}")
+        mesh["verts"] = optimise_mesh(
+            dfn, mesh["verts"], mesh["faces"], mesh["amin"], mesh["adiag"],
+            n_steps=n_steps, thresh=mesh.get("thresh", 2.5),
+            smooth_amount=smooth_amount, density_amount=density_amount,
+            inflate_amount=inflate_amount,
+        )
+        return mesh["verts"]
+
     def save_mesh(self, path: str | Path, resolution: int = 256, thresh: float = 2.5,
                   with_colors: bool = True):
         """Marching-cubes-equivalent export (reference --save_mesh,
