@@ -196,6 +196,18 @@ class NerfEngine:
             n_extra_dims=n_extra,
             hdr=dataset.is_hdr,
         )
+        import os
+
+        tp = os.environ.get("SIENERF_TRAIN_PACK", "none")
+        if (
+            tp == "bf16"
+            and net.pos_otype == "grid"
+            and net.grid.layout == "cell"
+            and ((1 << net.grid.n_dims) * net.grid.n_features_per_level) % 2 == 0
+        ):
+            import dataclasses
+
+            net = dataclasses.replace(net, grid_train_pack="bf16")
         opt = OptimizerSpec.from_network_config(network_config.get("optimizer", {}))
         n_casc = n_cascades_for_aabb_scale(aabb_scale)
         occ = OccupancyConfig(n_cascades=n_casc, grid_size=grid_size)

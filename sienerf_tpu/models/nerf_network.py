@@ -60,6 +60,10 @@ class NerfNetworkConfig:
     density_activation: NerfActivation = NerfActivation.EXPONENTIAL
     pos_otype: str = "grid"
     pos_opts: tuple = ()  # analytic-encoding params as sorted (key, value) pairs
+    # "bf16": training forward gathers bf16-packed rows from the fp32
+    # master (half the HBM bytes; exact fp32 backward) — A/B knob, see
+    # ops/hashgrid.py::hashgrid_encode_bf16train
+    grid_train_pack: str = "none"
 
     @staticmethod
     def from_network_config(
@@ -171,6 +175,10 @@ def _encode_pos(config: NerfNetworkConfig, params: dict, pos_unit: jnp.ndarray) 
             )
         if "grid_bf16" in params:
             return hashgrid_encode_bf16(config.grid, params["grid_bf16"], pos_unit)
+        if config.grid_train_pack == "bf16":
+            from sienerf_tpu.ops.hashgrid import hashgrid_encode_bf16train
+
+            return hashgrid_encode_bf16train(config.grid, params["grid"], pos_unit)
         return hashgrid_encode(config.grid, params["grid"], pos_unit)
     if config.pos_otype == "triplane":
         return jnp.concatenate(

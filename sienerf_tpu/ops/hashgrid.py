@@ -469,3 +469,29 @@ def hashgrid_encode_fp8(config: HashGridConfig, packed: jnp.ndarray, scale: jnp.
         cf = cf8.reshape(N, C, F).astype(jnp.float32) * scale_np[l]
         outs.append(jnp.sum(cf * w[:, l, :, None], axis=1))
     return jnp.stack(outs, axis=1).reshape(N, L * F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hashgrid_encode_bf16train(
+    config: HashGridConfig, table: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """TRAINING encode that gathers bf16-packed rows from the fp32 master.
+
+    Straight-through: the forward packs the fp32 table to bf16-pair rows
+    (half the gather bytes — the 1.5x render-path win, see pack_table_bf16)
+    and reads those; the backward is the EXACT fp32 custom vjp
+    (_encode_bwd_impl), so gradients land on the fp32 master untouched
+    (the reference trains its hash tables in fp16 with an fp32 Adam master
+    the same way — tcnn GradientDescent precision_t vs float params).
+    The per-step pack is an elementwise O(table) pass, negligible next to
+    the O(N*L) gathers.  A/B knob: SIENERF_TRAIN_PACK=bf16 (engine create).
+    """
+    return hashgrid_encode_bf16(config, pack_table_bf16(config, table), pos)
+
+
+def _encode_bf16train_fwd(config: HashGridConfig, table, pos):
+    out = hashgrid_encode_bf16(config, pack_table_bf16(config, table), pos)
+    return out, (table, pos)
+
+
+hashgrid_encode_bf16train.defvjp(_encode_bf16train_fwd, _encode_bwd_impl)

@@ -169,3 +169,61 @@ def test_bf16_packed_encode_matches():
     err = float(jnp.max(jnp.abs(out - ref)))
     scale = float(jnp.max(jnp.abs(ref)))
     assert err <= 0.01 * max(scale, 1e-6), (err, scale)
+
+
+def test_bf16train_encode_matches_packed_render_path():
+    """hashgrid_encode_bf16train forward == the packed render encode; its
+    gradient == the exact fp32 custom vjp (straight-through)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sienerf_tpu.ops.hashgrid import (
+        HashGridConfig,
+        hashgrid_encode,
+        hashgrid_encode_bf16,
+        hashgrid_encode_bf16train,
+        init_hashgrid_params,
+        pack_table_bf16,
+    )
+
+    cfg = HashGridConfig.from_network_config(
+        {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+         "log2_hashmap_size": 10, "base_resolution": 4},
+        n_dims=3,
+    )
+    assert cfg.layout == "cell"
+    key = jax.random.PRNGKey(0)
+    table = init_hashgrid_params(key, cfg) * 10.0  # spread past bf16 ulp
+    pos = jax.random.uniform(jax.random.fold_in(key, 1), (64, 3))
+
+    out_train = hashgrid_encode_bf16train(cfg, table, pos)
+    out_render = hashgrid_encode_bf16(cfg, pack_table_bf16(cfg, table), pos)
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_render))
+
+    def loss_train(t):
+        return jnp.sum(hashgrid_encode_bf16train(cfg, t, pos) ** 2) * 0.5
+
+    def loss_fp32(t):
+        return jnp.sum(hashgrid_encode(cfg, t, pos) ** 2) * 0.5
+
+    g_train = np.asarray(jax.grad(loss_train)(table))
+    g_fp32 = np.asarray(jax.grad(loss_fp32)(table))
+    # backward is the same vjp; only the cotangent differs by the bf16
+    # quantization of the forward output (grad = out for this loss)
+    assert np.isfinite(g_train).all()
+    denom = np.abs(g_fp32).max() + 1e-9
+    assert np.abs(g_train - g_fp32).max() / denom < 2e-2
+
+
+def test_bf16train_engine_step(monkeypatch):
+    """SIENERF_TRAIN_PACK=bf16 flows through engine create and trains."""
+    import jax
+
+    monkeypatch.setenv("SIENERF_TRAIN_PACK", "bf16")
+    from tests.test_extra_dims import make_dataset, make_engine
+
+    eng = make_engine(make_dataset())
+    assert eng.net.grid_train_pack == "bf16"
+    state = eng.init(0)
+    state, loss, _ = eng.train_bundle(state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
