@@ -142,9 +142,10 @@ def flip_error(test, reference, ppd: float = _PPD_DEFAULT) -> float:
     # the perceptual exponent qc = 0.7
     green = _xyz_to_lab(_linear_rgb_to_xyz(np.array([[[0.0, 1.0, 0.0]]])))
     blue = _xyz_to_lab(_linear_rgb_to_xyz(np.array([[[0.0, 0.0, 1.0]]])))
-    cmax = float(
-        np.abs(green[..., 0] - blue[..., 0]) + np.linalg.norm(green[..., 1:] - blue[..., 1:], axis=-1)
-    )
+    cmax = (
+        np.abs(green[..., 0] - blue[..., 0])
+        + np.linalg.norm(green[..., 1:] - blue[..., 1:], axis=-1)
+    ).item()
     pccmax = 0.4 * cmax
     dc = hyab ** 0.7
     dc = np.where(dc < pccmax, 0.5 * dc / pccmax, 1.0 - (0.5 * pccmax) / np.maximum(dc, 1e-12))

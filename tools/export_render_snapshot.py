@@ -1,0 +1,72 @@
+"""Export a compact RENDER-ONLY snapshot from a training cache.
+
+Strips the Adam/EMA optimizer moments, resolves the EMA'd inference
+parameters (ops/optim.inference_params), casts float leaves to fp16, and
+writes a zlib'd msgpack snapshot (io/snapshot.py container) small enough to
+commit to the repo (~30 MB for the fox base config vs ~200 MB of full
+training state).
+
+Why this exists: the benchmark driver runs bench.py on a FRESH box where
+the .cache training state is gone; without a committed field the render
+benchmark falls back to a short 768-step train whose fog-dense field both
+wastes ~20 min of bench wall-clock and renders ~2x slower than a converged
+one (render cost tracks live samples/ray — NOTES_ROUND2.md perf model).
+The reference's own headline figure ("tens of ms at 1080p",
+docs/index.html:327) is likewise measured on converged scenes.
+
+Usage: python tools/export_render_snapshot.py .cache/fox_16k.pkl data/fox_render.snap
+"""
+
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# CPU-only: this is pure host tree surgery, and the TPU tunnel must stay
+# free for whatever campaign is running (one client at a time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    cache_in, snap_out = sys.argv[1], sys.argv[2]
+    with open(cache_in, "rb") as fh:
+        blob = pickle.load(fh)
+    state = blob["state"]
+
+    from sienerf_tpu.io.snapshot import save_snapshot
+    from sienerf_tpu.ops.optim import inference_params
+
+    params = inference_params(state["opt"], state["params"])
+
+    def shrink(x):
+        x = np.asarray(x)
+        return x.astype(np.float16) if x.dtype == np.float32 else x
+
+    render_state = {
+        "params": jax.tree.map(shrink, jax.tree.map(np.asarray, params)),
+        "occ": {
+            "bitfield": np.asarray(state["occ"]["bitfield"]),
+            "mean_density": np.asarray(state["occ"]["mean_density"]),
+        },
+        "step": np.asarray(state["step"]),
+    }
+    save_snapshot(
+        snap_out,
+        render_state,
+        meta={
+            "kind": "render_only",
+            "phase": blob.get("phase", "fast"),
+            "mean_samples": blob.get("mean_samples") or 0.0,
+        },
+    )
+    sz = Path(snap_out).stat().st_size
+    print(f"{snap_out}: {sz / 1e6:.1f} MB (step {int(state['step'])})")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,9 +50,19 @@ def get_state(n_bundles=48, cache_name=None):
         for i in range(n_bundles):
             key, sub = jax.random.split(key)
             state, loss, cnt = eng.train_bundle(state, sub)
-        print(f"# trained {n_bundles} bundles in {time.time()-t0:.0f}s loss={float(loss):.4f}")
-        with open(f, "wb") as fh:
-            pickle.dump({"state": jax.tree.map(np.asarray, state), "phase": eng._phase}, fh)
+        print(f"# trained {n_bundles} bundles in {time.time()-t0:.0f}s loss={float(loss):.4f}",
+              flush=True)
+        # atomic write; _phase/_mean_samples are lazily set by training
+        # (engines/nerf.py _update_phase) — default like the engine does
+        tmp = f.with_suffix(".tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump(
+                {"state": jax.tree.map(np.asarray, state),
+                 "phase": getattr(eng, "_phase", "deep"),
+                 "mean_samples": getattr(eng, "_mean_samples", None)},
+                fh,
+            )
+        tmp.replace(f)
     return eng, state
 
 
