@@ -1336,10 +1336,21 @@ class NerfEngine:
             payload = jnp.concatenate(
                 [rgb_acc, op_acc[:, None], (bt_n / s["dnorm"])[:, None]], axis=1
             )
-        order = jnp.argsort(tgt)
-        s2["out"] = s2["out"].at[jnp.take(tgt, order)].set(
-            jnp.take(payload, order, axis=0), indices_are_sorted=True
-        )
+        import os
+
+        if os.environ.get("SIENERF_FLUSH", "sorted") == "unique":
+            # sort-free flush: ray ids are unique by construction and every
+            # non-done slot targets the SAME sacrificial row n (sliced off),
+            # so declaring uniqueness only leaves row n implementation-
+            # defined — which is unobservable.  A/B knob vs the argsort path
+            # (the sort is pure overhead if XLA's unique scatter stays
+            # parallel on TPU).
+            s2["out"] = s2["out"].at[tgt].set(payload, unique_indices=True)
+        else:
+            order = jnp.argsort(tgt)
+            s2["out"] = s2["out"].at[jnp.take(tgt, order)].set(
+                jnp.take(payload, order, axis=0), indices_are_sorted=True
+            )
         # refill dead slots from the pixel stream
         rank = jnp.cumsum(done.astype(jnp.int32))
         new_id = s["cursor"] + rank - 1
