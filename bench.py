@@ -87,7 +87,10 @@ def main():
     if params is None:
         state = eng.init(0)
         key = jax.random.PRNGKey(0)
-        n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+        # 192 bundles = 3840 steps (~18 min): same wall budget round 1's
+        # bench spent, but a far sharper field — render cost tracks live
+        # samples/ray, and the 768-step field is still fog-dense
+        n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 192
         for i in range(n_bundles):
             key, sub = jax.random.split(key)
             state, loss, cnt = eng.train_bundle(state, sub)

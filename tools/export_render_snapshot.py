@@ -2,17 +2,17 @@
 
 Strips the Adam/EMA optimizer moments, resolves the EMA'd inference
 parameters (ops/optim.inference_params), casts float leaves to fp16, and
-writes a zlib'd msgpack snapshot (io/snapshot.py container) small enough to
-commit to the repo (~30 MB for the fox base config vs ~200 MB of full
-training state).
+writes a zlib'd msgpack snapshot (io/snapshot.py container) — ~4x smaller
+than the full training state (the cell-packed hash table dominates: 537 MB
+fp32 -> ~270 MB fp16 for the fox base config, so the artifact stays a
+LOCAL convenience, not a committed asset).
 
-Why this exists: the benchmark driver runs bench.py on a FRESH box where
-the .cache training state is gone; without a committed field the render
-benchmark falls back to a short 768-step train whose fog-dense field both
-wastes ~20 min of bench wall-clock and renders ~2x slower than a converged
-one (render cost tracks live samples/ray — NOTES_ROUND2.md perf model).
-The reference's own headline figure ("tens of ms at 1080p",
-docs/index.html:327) is likewise measured on converged scenes.
+Why this exists: bench.py loads data/fox_render.snap when the .cache
+training state is gone, skipping the fallback train entirely on boxes
+where the snapshot was produced earlier in the session.  The reference's
+own headline figure ("tens of ms at 1080p", docs/index.html:327) is
+measured on converged scenes, so benching the converged field is the
+apples-to-apples protocol.
 
 Usage: python tools/export_render_snapshot.py .cache/fox_16k.pkl data/fox_render.snap
 """
