@@ -40,9 +40,13 @@ def test_pack_lookup_bits_roundtrip():
     key = jax.random.PRNGKey(3)
     keep = jax.random.bernoulli(key, 0.3, (1000,))
     words = pack_bits(keep)
-    assert words.shape == (-(-1000 // 32),) and words.dtype == jnp.uint32
+    assert words.shape == (-(-1000 // 128), 4) and words.dtype == jnp.uint32
     got = lookup_bits(words, jnp.arange(1000, dtype=jnp.int32))
     assert np.array_equal(np.asarray(got), np.asarray(keep))
+    # 2-D candidate-shaped ids take the same path as the renderer
+    ids2 = jnp.arange(1000, dtype=jnp.int32).reshape(50, 20)
+    got2 = lookup_bits(words, ids2)
+    assert np.array_equal(np.asarray(got2).reshape(-1), np.asarray(keep))
 
 
 def test_cull_matches_nearest_vertex():

@@ -28,6 +28,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+_TABLES = {}
+
+
+def _make_table(T, C):
+    """Big bench tables are built host-side and device_put once: building
+    them on device hits XLA's padded (8,128) tiling for narrow minor dims
+    on some construction ops (a 50M x 4 reshape output wanted 25.6 GB)."""
+    if (T, C) not in _TABLES:
+        _TABLES[(T, C)] = jax.device_put(
+            np.arange(T * C, dtype=np.int32).reshape(T, C)
+        )
+    return _TABLES[(T, C)]
+
+
 def gather_rows_pallas(table, idx, block: int = 512, window: int = 16,
                        g: int = 1, interpret: bool = False):
     """Gather table[idx[i]:idx[i]+g] rows -> (N, g, C) via manual DMAs."""
@@ -81,7 +95,7 @@ def gather_rows_pallas(table, idx, block: int = 512, window: int = 16,
 
 
 def bench(T, C, N, g=1, block=512, window=16, iters=8, interpret=False):
-    table = jnp.arange(T * C, dtype=jnp.int32).reshape(T, C)
+    table = _make_table(T, C)
     key = jax.random.PRNGKey(0)
     idx = jax.random.randint(key, (N,), 0, T - g, dtype=jnp.int32)
 
@@ -119,7 +133,7 @@ def bench(T, C, N, g=1, block=512, window=16, iters=8, interpret=False):
 
 
 def bench_xla(T, C, N, iters=8):
-    table = jnp.arange(T * C, dtype=jnp.int32).reshape(T, C)
+    table = _make_table(T, C)
     idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, T, dtype=jnp.int32)
 
     @jax.jit
@@ -150,7 +164,7 @@ def bench_xla_coherent(T, C, N, run_len=64, iters=8):
     beats the random-index plateau, the 91M rows/s wall is an address-
     locality effect and a Morton-ordered bake layout is the fix."""
     Rv = 257
-    table = jnp.arange(T * C, dtype=jnp.int32).reshape(T, C)
+    table = _make_table(T, C)
     n_rays = N // run_len
     key = jax.random.PRNGKey(1)
     base = jax.random.randint(key, (n_rays, 1), 0, T - 3 * run_len * Rv * Rv, dtype=jnp.int32)

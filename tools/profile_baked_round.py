@@ -87,6 +87,8 @@ def main():
         valid = ts < t1[:, None]
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
+        if level == 1.5:  # vertex-id arithmetic alone (pos, mip, flat id)
+            return jnp.sum(flat) + jnp.sum(oob)
         keep = valid & ~oob & lookup_bits(grid["bits"], flat)
         if level == 2:
             return jnp.sum(keep)
@@ -118,11 +120,11 @@ def main():
         )
         return jnp.sum(rgb_sum) + jnp.sum(T_out)
 
-    names = ["advance", "+chain", "+cull", "+merge", "+compact", "+gather",
-             "+colors", "+composite"]
+    names = {0: "advance", 1: "+chain", 1.5: "+ids", 2: "+bits", 3: "+merge",
+             4: "+compact", 5: "+gather", 6: "+colors", 7: "+composite"}
     prev = 0.0
     composite_total = 0.0
-    for lv in range(8):
+    for lv in (0, 1, 1.5, 2, 3, 4, 5, 6, 7):
 
         # grid/bitfield MUST be jit arguments, not closure captures: captured
         # device arrays become HLO constants and poison gathers ~100x
