@@ -101,33 +101,10 @@ def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
     return flat, oob, m
 
 
-def pack_bits(keep: jnp.ndarray) -> jnp.ndarray:
-    """(N,) bool -> (ceil(N/128), 4) uint32 rows; bit i of word w = flat id
-    w*32+i, word w lives at [w >> 2, w & 3].
-
-    The packed occupancy sidecar of the baked table: 32x smaller than a
-    byte mask (~6 MB at 3x257^3).  Words are packed four to a 16-byte ROW
-    because TPU random gathers are descriptor-limited at a fixed row rate —
-    a 16-byte-row gather moves 4 words for the price of one scalar lookup
-    (measured: scalar word probes ran at ~136M/s where 16-byte rows do
-    ~340M/s from small tables; tools/bench_baked_gather.py +
-    profile_baked_round '+bits' stage)."""
-    n = keep.shape[0]
-    pad = (-n) % 128
-    k = jnp.pad(keep, (0, pad)).reshape(-1, 4, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(jnp.where(k, weights, jnp.uint32(0)), axis=2, dtype=jnp.uint32)
-
-
-def lookup_bits(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
-    """Packed-bit test: flat vertex ids -> bool.  One 16-byte row gather +
-    an in-register one-hot lane select (a per-element minor-axis gather
-    would serialize on TPU — NOTES_ROUND1 fact #3)."""
-    w32 = flat >> 5
-    rows = jnp.take(words, w32 >> 2, axis=0)  # (..., 4)
-    lane = (w32 & 3)[..., None] == jnp.arange(4, dtype=jnp.int32)
-    w = jnp.sum(jnp.where(lane, rows, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
-    return ((w >> (flat & 31).astype(jnp.uint32)) & 1).astype(bool)
+# Row-packed bit helpers live in ops/bits.py (shared with the occupancy
+# march probes); re-exported here because the baked sidecar's consumers
+# import them from this module.
+from sienerf_tpu.ops.bits import lookup_bits, pack_bits  # noqa: E402,F401
 
 
 def cull_candidates(

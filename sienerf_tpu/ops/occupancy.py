@@ -89,7 +89,10 @@ def mip_from_dt(dt: jnp.ndarray, n_cascades: int, grid_size: int = NERF_GRIDSIZE
 def occupancy_lookup(state_bitfield: jnp.ndarray, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
     """bitfield: (C,G,G,G) bool; pos (...,3); mip (...,) -> occupied (...,) bool.
 
-    Out-of-grid positions report unoccupied.
+    Out-of-grid positions report unoccupied.  One-off probe; march loops
+    should pack once (pack_occupancy) and probe the rows instead — scalar
+    bool gathers run ~2.5x slower than 16-byte-row bit probes (measured,
+    profile_baked_round '+bits' stage).
     """
     g = state_bitfield.shape[1]
     cell = pos_to_cell(pos, mip, g)
@@ -99,6 +102,32 @@ def occupancy_lookup(state_bitfield: jnp.ndarray, pos: jnp.ndarray, mip: jnp.nda
     c_stride = g * g * g
     idx = mip * c_stride + (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
     return jnp.take(flat, idx) & inb
+
+
+def pack_occupancy(state_bitfield: jnp.ndarray) -> jnp.ndarray:
+    """(C,G,G,G) bool -> row-packed uint32 probe table (ops/bits.py layout).
+
+    3x128^3 packs to ~0.8 MB — the near-core gather regime.  Packing is one
+    elementwise pass over the grid (~sub-ms), amortized over a march loop's
+    iters x rays probes."""
+    from sienerf_tpu.ops.bits import pack_bits
+
+    return pack_bits(state_bitfield.reshape(-1))
+
+
+def occupancy_lookup_packed(
+    words: jnp.ndarray, grid_size: int, pos: jnp.ndarray, mip: jnp.ndarray
+) -> jnp.ndarray:
+    """Packed-row sibling of occupancy_lookup (identical semantics)."""
+    from sienerf_tpu.ops.bits import lookup_bits
+
+    g = grid_size
+    cell = pos_to_cell(pos, mip, g)
+    inb = jnp.all((cell >= 0) & (cell < g), axis=-1)
+    cc = jnp.clip(cell, 0, g - 1)
+    c_stride = g * g * g
+    idx = mip * c_stride + (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
+    return lookup_bits(words, idx) & inb
 
 
 def mark_untrained_cells(

@@ -25,7 +25,14 @@ from sienerf_tpu.common import (
     MIN_CONE_STEPSIZE,
     NERF_GRIDSIZE,
 )
-from sienerf_tpu.ops.occupancy import mip_from_dt, mip_from_pos, occupancy_lookup, pos_to_cell
+from sienerf_tpu.ops.occupancy import (
+    mip_from_dt,
+    mip_from_pos,
+    occupancy_lookup,
+    occupancy_lookup_packed,
+    pack_occupancy,
+    pos_to_cell,
+)
 
 
 def calc_dt(t: jnp.ndarray, cone_angle: float) -> jnp.ndarray:
@@ -98,6 +105,8 @@ def march_rays(
 
     iota_K = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
 
+    words_span = pack_occupancy(bitfield)
+
     def body(_, state):
         t, k, ts, dts = state
         # unrolled cone-step candidate chain t_0..t_{S-1} (+ end point)
@@ -115,7 +124,7 @@ def march_rays(
             mip_from_pos(pos, config.n_cascades),
             mip_from_dt(dt_stack, config.n_cascades, config.grid_size),
         )
-        occ = occupancy_lookup(bitfield, pos, mip)  # (N,S)
+        occ = occupancy_lookup_packed(words_span, config.grid_size, pos, mip)  # (N,S)
         in_range = t_stack[:, :S] < t_far[:, None]
         run = jnp.cumprod((occ & in_range).astype(jnp.int32), axis=1)  # leading run
         n_lead = jnp.sum(run, axis=1)  # (N,)
@@ -179,6 +188,10 @@ def _march_rays_scalar(
     N = origins.shape[0]
     K = n_samples
     g_fine = fine.shape[1] if fine is not None else config.grid_size
+    # pack once, probe rows in the loop (one elementwise pass; the loop does
+    # iters x N scalar probes otherwise)
+    words = pack_occupancy(bitfield)
+    words_fine = pack_occupancy(fine) if fine is not None else None
 
     def body(_, state):
         t, k, ts, dts = state
@@ -187,9 +200,9 @@ def _march_rays_scalar(
         mip = jnp.maximum(
             mip_from_pos(pos, config.n_cascades), mip_from_dt(dt, config.n_cascades, config.grid_size)
         )
-        occ = occupancy_lookup(bitfield, pos, mip)
+        occ = occupancy_lookup_packed(words, config.grid_size, pos, mip)
         if fine is not None:
-            occ_emit = occ & occupancy_lookup(fine, pos, mip)
+            occ_emit = occ & occupancy_lookup_packed(words_fine, g_fine, pos, mip)
         else:
             occ_emit = occ
         active = (t < t_far) & (k < K)
@@ -230,6 +243,8 @@ def advance_to_occupied(
     ALL pixels so the streaming renderer's eval rounds start on content
     (measured: the first ~2 rounds per ray otherwise evaluate at fill~0)."""
 
+    words = pack_occupancy(bitfield)
+
     def body(_, t):
         pos = origins + t[:, None] * dirs
         dt = calc_dt(t, config.cone_angle)
@@ -237,7 +252,7 @@ def advance_to_occupied(
             mip_from_pos(pos, config.n_cascades),
             mip_from_dt(dt, config.n_cascades, config.grid_size),
         )
-        occ = occupancy_lookup(bitfield, pos, mip)
+        occ = occupancy_lookup_packed(words, config.grid_size, pos, mip)
         active = (t < t_far) & ~occ
         skip = _next_voxel_skip(t, pos, dirs, mip, dt, config.grid_size)
         return jnp.where(active, t + skip, t)

@@ -313,3 +313,24 @@ def test_retreat_to_occupied_clamps_exit():
     assert 0.5 - 0.02 <= float(t0a[0]) <= 0.52
     # miss ray (never enters the slab): span collapses
     assert float(t1a[1]) <= float(t0a[1]) + 1e-5
+
+
+def test_packed_occupancy_lookup_matches_scalar():
+    """occupancy_lookup_packed (row-packed uint32 probe, ops/bits.py) must be
+    bit-identical to the scalar bool gather for every cell, cascade, and
+    out-of-grid position."""
+    from sienerf_tpu.ops.occupancy import occupancy_lookup_packed, pack_occupancy
+
+    rng = np.random.default_rng(7)
+    g, C = 16, 3
+    bf = jnp.asarray(rng.random((C, g, g, g)) < 0.3)
+    words = pack_occupancy(bf)
+    pos = jnp.asarray(rng.uniform(-1.5, 2.5, size=(4096, 3)).astype(np.float32))
+    mip = jnp.asarray(rng.integers(0, C, size=(4096,)), jnp.int32)
+    ref = occupancy_lookup(bf, pos, mip)
+    got = occupancy_lookup_packed(words, g, pos, mip)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # 2D index shape (rays x span), as the span marcher probes it
+    ref2 = occupancy_lookup(bf, pos.reshape(64, 64, 3), mip.reshape(64, 64))
+    got2 = occupancy_lookup_packed(words, g, pos.reshape(64, 64, 3), mip.reshape(64, 64))
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))

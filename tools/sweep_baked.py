@@ -61,6 +61,35 @@ CONFIG_SETS = {
         dict(candidates=64, evals=32, step_scale=4.0, advance_iters=0,
              init_advance_iters=0),
     ],
+    # v4: the per-frame FIXED cost hypothesis.  Per-ray-round accounting of
+    # the r2-best frame (3516 ms, 15 rounds, 0.92M ray-rounds) leaves ~2 s
+    # unexplained by the stage profile (102 ms/round x 15) — which matches
+    # the frame-level init advance+retreat: 160 serial DDA iters x 2 over
+    # ALL 921k rays.  v4 sweeps init depth (the packed-word probes from
+    # ops/bits.py make each iter ~2.5x cheaper, so this also A/Bs that),
+    # plus flush amortization and tile width at the winning init depth.
+    "v4": [
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16),   # r2 best (init 160)
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=0),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=32,
+             init_advance_iters=0),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=16, flush_every=2),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=16, tile=1 << 17),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=16, tile=1 << 17, flush_every=2),
+        # quality rung at the lean init (bench.py ships ss=2)
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
+             init_advance_iters=16),
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
+             init_advance_iters=16, tile=1 << 17, flush_every=2),
+    ],
     # quick 3-config set for flag A/Bs (e.g. SIENERF_PALLAS_GATHER=1):
     # reference-quality, r2-best, and the lean-round variant
     "best": [
