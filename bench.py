@@ -115,12 +115,17 @@ def main():
     jnp_sync = float(np.asarray(grid["rows"][0, 0]))
     print(f"# bake R=256: {time.time() - t_bake:.1f}s", file=sys.stderr)
 
+    # best measured config (tools/sweep_baked.py v4, fox_4k field): shallow
+    # frame-init advance + per-round DDA continuation; ss=4 candidate chains
+    # (quality cross-checked vs GT below and vs the live renderer)
+    BAKED_CFG = dict(candidates=64, evals=32, step_scale=4.0,
+                     advance_iters=16, init_advance_iters=32)
+
     def baked_frame():
         return render_frame_baked(
             eng, params, bf, grid, cam, fl, width=W, height=H,
             resolution=meta["resolution"], mode=meta["mode"],
-            n_cascades=meta["n_cascades"], candidates=64, evals=32,
-            step_scale=2.0,
+            n_cascades=meta["n_cascades"], **BAKED_CFG,
         )
 
     rgba, depth = baked_frame()  # warmup/compile
@@ -142,7 +147,7 @@ def main():
     baked_s, _ = render_frame_baked(
         eng, params, bf, grid, cam, tuple(np.asarray(fl) * lw / W),
         width=lw, height=lh, resolution=meta["resolution"], mode=meta["mode"],
-        n_cascades=meta["n_cascades"], candidates=64, evals=32, step_scale=2.0,
+        n_cascades=meta["n_cascades"], **BAKED_CFG,
     )
     mse_bl = float(np.mean((np.asarray(live[..., :3]) - np.asarray(baked_s[..., :3])) ** 2))
     print(f"# baked-vs-live PSNR: {-10 * np.log10(max(mse_bl, 1e-10)):.2f} dB",
@@ -157,7 +162,16 @@ def main():
         screen_center=tuple(np.asarray(eng.principal_points[0])),
     )
     q = psnr_of(np.asarray(rgba_q[..., :3]), ds.images[0][..., :3])
-    print(f"# quality: train-view PSNR {q:.2f} at {n_steps} steps", file=sys.stderr)
+    rgba_qb, _ = render_frame_baked(
+        eng, params, bf, grid, eng.xforms[0], tuple(np.asarray(eng.focals[0])),
+        width=w_ds, height=h_ds,
+        screen_center=tuple(np.asarray(eng.principal_points[0])),
+        resolution=meta["resolution"], mode=meta["mode"],
+        n_cascades=meta["n_cascades"], **BAKED_CFG,
+    )
+    qb = psnr_of(np.asarray(rgba_qb[..., :3]), ds.images[0][..., :3])
+    print(f"# quality: train-view PSNR live {q:.2f} / baked(timed cfg) {qb:.2f} "
+          f"at {n_steps} steps", file=sys.stderr)
 
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec",
