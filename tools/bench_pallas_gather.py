@@ -44,7 +44,7 @@ def _make_table(T32):
     return _TABLES[T32]
 
 
-def gather_rows_pallas(table, idx, block: int = 512, window: int = 16,
+def gather_rows_pallas(table, idx, block: int = 1024, window: int = 16,
                        g: int = 1, interpret: bool = False):
     """Gather table[idx[i]*g : idx[i]*g+g] -> (N, g, 128) via manual DMAs."""
     from jax.experimental import pallas as pl
@@ -95,7 +95,7 @@ def gather_rows_pallas(table, idx, block: int = 512, window: int = 16,
     )(idx, table)
 
 
-def bench(T32, N, g=1, block=512, window=16, iters=8, interpret=False):
+def bench(T32, N, g=1, block=1024, window=16, iters=8, interpret=False):
     table = _make_table(T32)
     key = jax.random.PRNGKey(0)
     hi = T32 // g
@@ -169,15 +169,15 @@ def main():
         # tiny correctness pass on CPU interpreter (before any backend touch;
         # the axon site hook otherwise forces the TPU platform)
         jax.config.update("jax_platforms", "cpu")
-        bench(1 << 12, 1 << 10, g=1, block=256, window=8, iters=1, interpret=True)
-        bench(1 << 12, 1 << 10, g=2, block=256, window=8, iters=1, interpret=True)
+        bench(1 << 12, 1 << 10, g=1, block=1024, window=8, iters=1, interpret=True)
+        bench(1 << 12, 1 << 10, g=2, block=1024, window=8, iters=1, interpret=True)
         return
     N = 1 << 20
     big = 1_600_000  # (1.6M, 128) i32 = 0.8GB — the baked table regime
     bench_xla(big, N)
     for W in (8, 16, 32):
         bench(big, N, g=1, window=W)
-    bench(big, N, g=1, block=1024, window=32)
+    bench(big, N, g=1, block=4096, window=32)
     bench(big, N >> 2, g=4, window=16)      # 2KB bursts
     bench(1 << 14, N, g=1, window=16)       # small table: near-core regime
     bench_xla(1 << 14, N)
