@@ -442,7 +442,11 @@ def render_frame_baked(
     max_rounds: int = 24,
     advance_iters: int = 16,
     flush_every: int = 1,
-    init_advance_iters: int | None = None,
+    # 32 is the measured optimum (tools/sweep_baked.py v4, 720p fox):
+    # deeper frame-init advance (the live renderer's 160) is pure fixed
+    # cost here because the per-round DDA finishes the job on live slots
+    # only; None = inherit engine.init_advance_iters (the live default)
+    init_advance_iters: int | None = 32,
     screen_center=(0.5, 0.5),
     background=(0.0, 0.0, 0.0),
     min_transmittance=None,
