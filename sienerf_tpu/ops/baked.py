@@ -230,10 +230,8 @@ def baked_features(
     for k in range(K):
         scale_sel = jnp.where((m == k)[..., None], scale[k], scale_sel)
     if mode == "nearest":
-        from sienerf_tpu.ops.pallas_gather import take_rows
-
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
-        r = take_rows(rows, flat)
+        r = jnp.take(rows, flat, axis=0)
         feats, sent = _decode_rows(r, scale_sel)
     elif mode == "trilinear":
         x = u * R

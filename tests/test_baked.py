@@ -298,19 +298,6 @@ def test_flush_every_and_no_advance(trained_small):
     assert psnr > 30.0, psnr
 
 
-def test_pallas_gather_rows_interpret():
-    """gather_rows (interpret mode) matches jnp.take exactly, including
-    N not a multiple of block and out-of-range index clamping."""
-    from sienerf_tpu.ops.pallas_gather import gather_rows
-
-    key = jax.random.PRNGKey(7)
-    table = jax.random.randint(key, (1 << 10, 4), -(1 << 30), 1 << 30, dtype=jnp.int32)
-    idx = jax.random.randint(jax.random.PRNGKey(8), (777,), -5, (1 << 10) + 5, dtype=jnp.int32)
-    out = gather_rows(table, idx, block=128, window=8, interpret=True)
-    ref = jnp.take(table, jnp.clip(idx, 0, (1 << 10) - 1), axis=0)
-    assert np.array_equal(np.asarray(out), np.asarray(ref))
-
-
 def test_compact_candidates_onehot_equivalence():
     """One-hot-MXU compaction matches the sort-network compaction on every
     kept slot (padded slots differ by design and are masked by callers)."""
