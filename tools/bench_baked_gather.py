@@ -47,6 +47,49 @@ def bench_gather(n_rows: int, n_idx: int, cols: int = 4, iters: int = 20):
     return rate
 
 
+def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20):
+    """The packed-bit cull probe in isolation: (rows,4) uint32 table gather
+    + lane one-hot + bit test, at 1D vs the renderer's (rays, P) 2D index
+    shape.  In-situ the cull runs ~200M probes/s where standalone row
+    benches hit ~340M/s — this isolates whether the index shape is the
+    difference."""
+    import numpy as np
+
+    from sienerf_tpu.ops.bits import lookup_bits
+
+    words = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1 << 32, size=(n_words4, 4), dtype=np.uint32)
+    )
+    n_bits = n_words4 * 128
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(words, key):
+        def body(i, carry):
+            acc, k = carry
+            k, sub = jax.random.split(k)
+            shape = (n_idx,) if ndim == 1 else (n_idx // 64, 64)
+            flat = jax.random.randint(sub, shape, 0, n_bits)
+            r = lookup_bits(words, flat)
+            return acc + r.sum(dtype=jnp.int32), k
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.int32(0), key))
+        return acc
+
+    r = run(words, key)
+    int(r)
+    import time as _t
+
+    t0 = _t.time()
+    r = run(words, key)
+    int(r)
+    dt = (_t.time() - t0) / iters
+    print(
+        f"bits  rows4={n_words4} ({n_words4*16/1e6:6.1f} MB) ndim={ndim}: "
+        f"{dt*1e3:8.2f} ms  {n_idx/dt/1e6:7.1f} M probes/s"
+    )
+
+
 def main():
     n_idx = 1 << 22
     for lg in (17, 20, 22, 23, 24, 25, 26):
@@ -55,6 +98,9 @@ def main():
     bench_gather(50923779, n_idx)
     # wider rows at the same byte count per sample as trilinear cells
     bench_gather(1 << 23, n_idx, cols=32, iters=5)
+    # the candidate-cull bit probe (6.4 MB sidecar, renderer geometry)
+    bench_bits_probe(398624, n_idx, 1)
+    bench_bits_probe(398624, n_idx, 2)
 
 
 if __name__ == "__main__":

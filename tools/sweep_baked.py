@@ -90,7 +90,29 @@ CONFIG_SETS = {
         dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
              init_advance_iters=16, tile=1 << 17, flush_every=2),
     ],
-    # quick 3-config set for flag A/Bs (e.g. SIENERF_PALLAS_GATHER=1):
+    # v5: refine around the v4 winner on the converged fox_16k field
+    # (sharper fields have fewer live samples/ray -> the optimum moves);
+    # SIENERF_FLUSH=unique is the companion flag A/B at the same configs.
+    "v5": [
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),  # v4 best
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=48),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=24,
+             init_advance_iters=24),
+        dict(candidates=96, evals=40, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=64, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=48, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        # quality rung
+        dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=128, evals=48, step_scale=1.0, advance_iters=16,
+             init_advance_iters=32),
+    ],
+    # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
         dict(candidates=64, evals=32, step_scale=2.0, advance_iters=16),
