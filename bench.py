@@ -87,7 +87,7 @@ def main():
     if params is None:
         state = eng.init(0)
         key = jax.random.PRNGKey(0)
-        # 192 bundles = 3840 steps (~18 min): same wall budget round 1's
+        # 192 bundles = 3072 steps (~18 min): same wall budget round 1's
         # bench spent, but a far sharper field — render cost tracks live
         # samples/ray, and the 768-step field is still fog-dense
         n_bundles = int(sys.argv[1]) if len(sys.argv) > 1 else 192

@@ -112,6 +112,25 @@ CONFIG_SETS = {
         dict(candidates=128, evals=48, step_scale=1.0, advance_iters=16,
              init_advance_iters=32),
     ],
+    # v6: sharp-field tail for the converged (>=12k-step) fox field — the
+    # fog collapses (3840-step fields have 67% of candidates at density>1),
+    # so live samples/ray drop severalfold and smaller eval windows stop
+    # overflowing; probe ev=16 and shallower candidate chains.
+    "v6": [
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),  # v4 best, the cross-field reference
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=48, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=32, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=48, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, flush_every=2),
+        # quality rung at the sharp field
+        dict(candidates=64, evals=24, step_scale=2.0, advance_iters=16,
+             init_advance_iters=32),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
