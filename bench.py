@@ -115,10 +115,13 @@ def main():
     jnp_sync = float(np.asarray(grid["rows"][0, 0]))
     print(f"# bake R=256: {time.time() - t_bake:.1f}s", file=sys.stderr)
 
-    # best measured config (tools/sweep_baked.py v4, fox_4k field): shallow
-    # frame-init advance + per-round DDA continuation; ss=4 candidate chains
-    # (quality cross-checked vs GT below and vs the live renderer)
-    BAKED_CFG = dict(candidates=64, evals=32, step_scale=4.0,
+    # best measured config (tools/sweep_baked.py v5/v6, fox_16k field):
+    # shallow frame-init advance + per-round DDA continuation; ss=4
+    # candidate chains with a 16-wide eval window — the sharp field keeps
+    # the overflow rollback rare enough that the smaller window wins
+    # (1303 ms vs 1506 ms at evals=32; 59.6 dB vs the evals=32 frame, i.e.
+    # visually identical; quality also cross-checked vs GT below)
+    BAKED_CFG = dict(candidates=64, evals=16, step_scale=4.0,
                      advance_iters=16, init_advance_iters=32)
 
     def baked_frame():
