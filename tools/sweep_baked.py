@@ -131,6 +131,28 @@ CONFIG_SETS = {
         dict(candidates=64, evals=24, step_scale=2.0, advance_iters=16,
              init_advance_iters=32),
     ],
+    # v7: per-round-overhead attack around the v6 winner (fox_16k).  The
+    # unexplained ~33 ms/round is suspected to be (a) the 16 serial DDA
+    # iterations of the per-round advance — the candidate chain's bit cull
+    # already skips empty space vectorized, so the DDA may be redundant —
+    # and/or (b) the width-P compaction sort (SIENERF_COMPACT=onehot is the
+    # companion flag A/B at the same configs).
+    "v7": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),  # v6 winner, the reference row
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=4,
+             init_advance_iters=32),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=0,
+             init_advance_iters=32),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=0,
+             init_advance_iters=48),
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=0,
+             init_advance_iters=32),
+        dict(candidates=128, evals=16, step_scale=4.0, advance_iters=0,
+             init_advance_iters=32),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
