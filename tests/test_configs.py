@@ -56,6 +56,7 @@ def test_nerf_config_forward(name):
     jax.tree.map(lambda a, b: None, params, nerf_l2_mask(params))
 
 
+@pytest.mark.slow
 def test_nerf_variant_grads_flow():
     """Non-grid variants must be trainable: grads reach the MLPs."""
     for name in ("frequency.json", "none.json", "tensor.json"):

@@ -68,6 +68,7 @@ def make_engine(ds):
     return eng
 
 
+@pytest.mark.slow
 def test_latent_codes_created_and_trained():
     ds = make_dataset(n_extra=2)
     assert ds.n_extra_dims == 2

@@ -215,6 +215,7 @@ def test_bf16train_encode_matches_packed_render_path():
     assert np.abs(g_train - g_fp32).max() / denom < 2e-2
 
 
+@pytest.mark.slow
 def test_bf16train_engine_step(monkeypatch):
     """SIENERF_TRAIN_PACK=bf16 flows through engine create and trains."""
     import jax

@@ -183,6 +183,7 @@ def test_export_import_forward_identical(tmp_path):
     assert np.allclose(np.asarray(dens_a), np.asarray(dens_b), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_session_imports_reference_snapshot(tmp_path):
     """Session.load_snapshot routes reference files to the importer and the
     resulting engine renders; geometry scenes load nerf-object snapshots."""

@@ -519,6 +519,7 @@ def test_nerf_render_modes():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+@pytest.mark.slow
 def test_near_density_reg_reduces_near_fog():
     """Anti-floater regularizer: with near_density_reg on, the trained field
     deposits less optical thickness in the near region of training rays."""

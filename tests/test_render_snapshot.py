@@ -8,6 +8,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+@pytest.mark.slow
 def test_render_snapshot_roundtrip(tmp_path):
     from __graft_entry__ import _tiny_engine
     from sienerf_tpu.io.snapshot import load_snapshot

@@ -135,6 +135,7 @@ def test_encoding_trilerp_linear_in_position():
         )
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_features():
     tris = cube_mesh()
     tree = build_triangle_octree(tris, 4)
@@ -150,6 +151,7 @@ def test_gradients_flow_to_features():
     assert np.all(np.isfinite(np.asarray(gp)))
 
 
+@pytest.mark.slow
 def test_sdf_engine_takikawa_end_to_end(configs_dir):
     from sienerf_tpu.utils.config import load_network_config
 
