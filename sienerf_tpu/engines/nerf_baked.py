@@ -41,7 +41,7 @@ from sienerf_tpu.ops.baked import (
     baked_features,
     cascade_extent,
     compact_candidates_auto,
-    lookup_bits,
+    lookup_bits_auto,
     merge_same_vertex_runs,
     nearest_vertex_ids,
     pack_bits,
@@ -272,7 +272,7 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
     else:
         R, K = meta["resolution"], meta["n_cascades"]
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
-        keep = valid & ~oob & lookup_bits(grid["bits"], flat)
+        keep = valid & ~oob & lookup_bits_auto(grid["bits"], flat)
         # exact same-vertex run merge: the window bound covers the longest
         # possible run — the sqrt(3) diagonal chord of the coarsest
         # cascade's Voronoi cell over the smallest step

@@ -104,7 +104,11 @@ def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
 # Row-packed bit helpers live in ops/bits.py (shared with the occupancy
 # march probes); re-exported here because the baked sidecar's consumers
 # import them from this module.
-from sienerf_tpu.ops.bits import lookup_bits, pack_bits  # noqa: E402,F401
+from sienerf_tpu.ops.bits import (  # noqa: E402,F401
+    lookup_bits,
+    lookup_bits_auto,
+    pack_bits,
+)
 
 
 def cull_candidates(

@@ -38,3 +38,27 @@ def lookup_bits(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     lane = (w32 & 3)[..., None] == jnp.arange(4, dtype=jnp.int32)
     w = jnp.sum(jnp.where(lane, rows, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
     return ((w >> (flat & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+
+def lookup_bits_word(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Packed-bit test via ONE 4-byte word gather (no lane select).
+
+    Candidate-cull probes along rays rarely share a 128-bit row (flat ids
+    jump by ~Rv per step except along z), so the row variant's 16-byte
+    gather + 4-lane one-hot select buys no sharing and pays ~3 extra VPU
+    passes over (N, 4) lanes.  TPU gathers are descriptor-limited at a
+    fixed ROW rate (4-byte rows gather as fast as 16-byte ones), so a
+    direct word gather should match the gather cost and drop the select.
+    A/B knob: SIENERF_BITS=word (tools/bench_baked_gather.py measures both).
+    """
+    w = jnp.take(words.reshape(-1), (flat >> 5).astype(jnp.int32), axis=0)
+    return ((w >> (flat & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+
+def lookup_bits_auto(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch lookup_bits by SIENERF_BITS (row|word) — renderer A/B knob."""
+    import os
+
+    if os.environ.get("SIENERF_BITS", "row") == "word":
+        return lookup_bits_word(words, flat)
+    return lookup_bits(words, flat)

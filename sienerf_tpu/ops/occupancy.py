@@ -119,7 +119,7 @@ def occupancy_lookup_packed(
     words: jnp.ndarray, grid_size: int, pos: jnp.ndarray, mip: jnp.ndarray
 ) -> jnp.ndarray:
     """Packed-row sibling of occupancy_lookup (identical semantics)."""
-    from sienerf_tpu.ops.bits import lookup_bits
+    from sienerf_tpu.ops.bits import lookup_bits_auto
 
     g = grid_size
     cell = pos_to_cell(pos, mip, g)
@@ -127,7 +127,7 @@ def occupancy_lookup_packed(
     cc = jnp.clip(cell, 0, g - 1)
     c_stride = g * g * g
     idx = mip * c_stride + (cc[..., 0] * g + cc[..., 1]) * g + cc[..., 2]
-    return lookup_bits(words, idx) & inb
+    return lookup_bits_auto(words, idx) & inb
 
 
 def mark_untrained_cells(

@@ -47,6 +47,13 @@ def test_pack_lookup_bits_roundtrip():
     ids2 = jnp.arange(1000, dtype=jnp.int32).reshape(50, 20)
     got2 = lookup_bits(words, ids2)
     assert np.array_equal(np.asarray(got2).reshape(-1), np.asarray(keep))
+    # the word-gather variant (SIENERF_BITS=word) is bit-exact vs the row path
+    from sienerf_tpu.ops.bits import lookup_bits_word
+
+    got3 = lookup_bits_word(words, ids2)
+    assert np.array_equal(np.asarray(got3), np.asarray(got2))
+    got4 = lookup_bits_word(words, jnp.arange(1000, dtype=jnp.int32))
+    assert np.array_equal(np.asarray(got4), np.asarray(keep))
 
 
 def test_cull_matches_nearest_vertex():

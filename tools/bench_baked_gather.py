@@ -47,7 +47,8 @@ def bench_gather(n_rows: int, n_idx: int, cols: int = 4, iters: int = 20):
     return rate
 
 
-def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20):
+def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20,
+                     variant: str = "row"):
     """The packed-bit cull probe in isolation: (rows,4) uint32 table gather
     + lane one-hot + bit test, at 1D vs the renderer's (rays, P) 2D index
     shape.  In-situ the cull runs ~200M probes/s where standalone row
@@ -55,7 +56,9 @@ def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20):
     difference."""
     import numpy as np
 
-    from sienerf_tpu.ops.bits import lookup_bits
+    from sienerf_tpu.ops.bits import lookup_bits, lookup_bits_word
+
+    probe = lookup_bits_word if variant == "word" else lookup_bits
 
     words = jnp.asarray(
         np.random.default_rng(0).integers(0, 1 << 32, size=(n_words4, 4), dtype=np.uint32)
@@ -70,7 +73,7 @@ def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20):
             k, sub = jax.random.split(k)
             shape = (n_idx,) if ndim == 1 else (n_idx // 64, 64)
             flat = jax.random.randint(sub, shape, 0, n_bits)
-            r = lookup_bits(words, flat)
+            r = probe(words, flat)
             return acc + r.sum(dtype=jnp.int32), k
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.int32(0), key))
@@ -85,7 +88,7 @@ def bench_bits_probe(n_words4: int, n_idx: int, ndim: int, iters: int = 20):
     int(r)
     dt = (_t.time() - t0) / iters
     print(
-        f"bits  rows4={n_words4} ({n_words4*16/1e6:6.1f} MB) ndim={ndim}: "
+        f"bits  rows4={n_words4} ({n_words4*16/1e6:6.1f} MB) ndim={ndim} {variant}: "
         f"{dt*1e3:8.2f} ms  {n_idx/dt/1e6:7.1f} M probes/s"
     )
 
@@ -101,6 +104,11 @@ def main():
     # the candidate-cull bit probe (6.4 MB sidecar, renderer geometry)
     bench_bits_probe(398624, n_idx, 1)
     bench_bits_probe(398624, n_idx, 2)
+    bench_bits_probe(398624, n_idx, 1, variant="word")
+    bench_bits_probe(398624, n_idx, 2, variant="word")
+    # the training occupancy table geometry (0.8 MB)
+    bench_bits_probe(49152, n_idx, 2)
+    bench_bits_probe(49152, n_idx, 2, variant="word")
 
 
 if __name__ == "__main__":

@@ -153,6 +153,12 @@ CONFIG_SETS = {
         dict(candidates=128, evals=16, step_scale=4.0, advance_iters=0,
              init_advance_iters=32),
     ],
+    # single-config set: the shipping v6 winner, for one-flag A/Bs
+    # (SIENERF_BITS / SIENERF_FLUSH / SIENERF_COMPACT)
+    "winner": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
