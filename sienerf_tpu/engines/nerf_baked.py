@@ -40,6 +40,7 @@ from sienerf_tpu.models.nerf_network import (
 from sienerf_tpu.ops.baked import (
     baked_features,
     cascade_extent,
+    coarse_live_bits,
     compact_candidates_auto,
     lookup_bits_auto,
     merge_same_vertex_runs,
@@ -153,16 +154,19 @@ def bake_feature_grid(
             rows, live = jax.lax.map(one, ids_all)
             per_casc.append(rows.reshape(n_chunks * chunk, -1)[:n_vertices])
             bits_casc.append(live.reshape(-1)[:n_vertices])
-        return jnp.concatenate(per_casc, axis=0), pack_bits(
-            jnp.concatenate(bits_casc)
+        live_all = jnp.concatenate(bits_casc)
+        return (
+            jnp.concatenate(per_casc, axis=0),
+            pack_bits(live_all),
+            coarse_live_bits(live_all, R, n_casc),
         )
 
-    vrows, bits = bake_vertices(params, scale)
+    vrows, bits, bits2 = bake_vertices(params, scale)
     if mode == "trilinear":
         rows = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(vrows, R, n_casc)
     else:
         rows = vrows
-    grid = {"rows": rows, "scale": scale, "bits": bits}
+    grid = {"rows": rows, "scale": scale, "bits": bits, "bits2": bits2}
     return grid, {"resolution": R, "mode": mode, "n_cascades": n_casc}
 
 
@@ -270,9 +274,20 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
     else:
+        import os
+
         R, K = meta["resolution"], meta["n_cascades"]
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
-        keep = valid & ~oob & lookup_bits_auto(grid["bits"], flat)
+        if os.environ.get("SIENERF_CULL", "coarse") == "coarse" and "bits2" in grid:
+            # half-res conservative cull sidecar: 0.8 MB probes at ~315 M/s
+            # vs the 6.4 MB full-res table's ~200 M/s (ops/baked.py
+            # coarse_live_bits); extra keeps gather the sentinel and
+            # composite to zero, so the frame matches the full-res cull
+            # up to minT termination quantization (>50 dB)
+            flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
+            keep = valid & ~oob2 & lookup_bits_auto(grid["bits2"], flat2)
+        else:
+            keep = valid & ~oob & lookup_bits_auto(grid["bits"], flat)
         # exact same-vertex run merge: the window bound covers the longest
         # possible run — the sqrt(3) diagonal chord of the coarsest
         # cascade's Voronoi cell over the smallest step

@@ -111,6 +111,33 @@ from sienerf_tpu.ops.bits import (  # noqa: E402,F401
 )
 
 
+def coarse_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -> jnp.ndarray:
+    """Conservative half-resolution cull sidecar: (K*(R+1)^3,) live bools ->
+    packed rows over the (K, R/2+1)^3 lattice.
+
+    Motivation (measured, tools/bench_baked_gather.py): packed-bit probes
+    run ~315 M/s from a 0.8 MB table but only ~200 M/s from the full-res
+    6.4 MB one — the ~2 MB near-core knee, not index shape, is the gap.
+    A sample's nearest R/2-vertex c covers exactly the fine vertices
+    f in [2c-1, 2c+1]^3 (nearest-coarse => u*R within 1 of 2c), so a
+    3^3-OR / stride-2 max-pool is the exact conservative cover: every
+    candidate the fine cull keeps is kept here, extras gather the fine
+    row's sentinel and composite to zero (and overflow rollback already
+    guarantees no dense sample is skipped), so the rendered image is
+    unchanged.
+    """
+    R = resolution
+    assert R % 2 == 0
+    Rv = R + 1
+    lv = live_flat.reshape(n_cascades, Rv, Rv, Rv).astype(jnp.int8)
+    pooled = jax.lax.reduce_window(
+        lv, jnp.int8(0), jax.lax.max,
+        window_dimensions=(1, 3, 3, 3), window_strides=(1, 2, 2, 2),
+        padding=((0, 0), (1, 1), (1, 1), (1, 1)),
+    )  # (K, R/2+1, R/2+1, R/2+1)
+    return pack_bits(pooled.reshape(-1) > 0)
+
+
 def cull_candidates(
     words: jnp.ndarray, resolution: int, n_cascades: int, pos: jnp.ndarray
 ) -> jnp.ndarray:

@@ -221,6 +221,68 @@ def test_baked_render_matches_live(trained_small, mode, evals):
     assert agree > 0.95, (mode, agree)
 
 
+def test_coarse_live_bits_conservative():
+    """Every position whose fine nearest vertex is live must also be live
+    under the half-res pooled sidecar (the conservative-cover property that
+    makes the coarse cull frame-exact)."""
+    from sienerf_tpu.ops.baked import coarse_live_bits, lookup_bits
+
+    R, K = 16, 2
+    n_vert = K * (R + 1) ** 3
+    live = jax.random.bernoulli(jax.random.PRNGKey(11), 0.3, (n_vert,))
+    words_f = pack_bits(live)
+    words_c = coarse_live_bits(live, R, K)
+    pos = jax.random.uniform(jax.random.PRNGKey(12), (4000, 3), minval=-0.9, maxval=1.9)
+    flat_f, oob, _ = nearest_vertex_ids(R, K, pos)
+    flat_c, oob_c, _ = nearest_vertex_ids(R // 2, K, pos)
+    keep_f = np.asarray(lookup_bits(words_f, flat_f) & ~oob)
+    keep_c = np.asarray(lookup_bits(words_c, flat_c) & ~oob_c)
+    assert np.array_equal(np.asarray(oob), np.asarray(oob_c))
+    # conservative: fine-keep implies coarse-keep
+    assert not np.any(keep_f & ~keep_c)
+    # and not vacuous: the pooled grid still culls most of the empty space
+    assert keep_c.mean() < 0.9
+
+
+@pytest.mark.slow
+def test_coarse_cull_frame_matches(trained_small, monkeypatch):
+    """SIENERF_CULL=coarse must render the same frame as the full-res cull
+    up to min-transmittance termination quantization: extra keeps read the
+    fine sentinel and composite to zero, overflow rollback re-covers any
+    pushed-out survivor; only WHERE chunk boundaries fall (and thus where
+    the T<minT early-out truncates) can shift, bounding the deviation by
+    ~minT."""
+    import jax as _jax
+
+    from sienerf_tpu.engines.nerf_baked import render_rays_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    grid, meta = eng.bake_features(params, state["occ"], resolution=64, mode="nearest")
+    n = 128
+    uv = jnp.stack([jnp.linspace(0.1, 0.9, n), jnp.full((n,), 0.5)], axis=-1)
+    from sienerf_tpu.utils.camera import uv_to_ray
+
+    o, d = uv_to_ray(uv, (RES, RES), tuple(np.asarray(ds.focal_lengths[0])),
+                     ds.xforms[0], (0.5, 0.5), eng.lens)
+    outs = {}
+    for cull in ("fine", "coarse"):
+        monkeypatch.setenv("SIENERF_CULL", cull)
+        _jax.clear_caches()  # the env knob is read at trace time
+        rgb, op, depth = render_rays_baked(
+            eng, params, grid, meta, bitfield, o, d, P=32, evals=8,
+            step_scale=2.0, max_rounds=48,
+        )
+        outs[cull] = np.asarray(rgb), np.asarray(op)
+    # engine minT here is 1e-2; measured max deviations are ~1.8e-2 rgb /
+    # ~3e-2 op (minT-scale), means ~2e-3 — i.e. >50 dB agreement
+    assert np.allclose(outs["fine"][0], outs["coarse"][0], atol=5e-2)
+    assert np.allclose(outs["fine"][1], outs["coarse"][1], atol=8e-2)
+    assert np.mean(np.abs(outs["fine"][0] - outs["coarse"][0])) < 5e-3
+
+
 def test_merge_same_vertex_runs_exact():
     from sienerf_tpu.ops.baked import merge_same_vertex_runs
 

@@ -153,6 +153,23 @@ CONFIG_SETS = {
         dict(candidates=128, evals=16, step_scale=4.0, advance_iters=0,
              init_advance_iters=32),
     ],
+    # v8: re-tune the operating point under cheaper (word-gather) bit
+    # probes — probe cost drops ~linearly with P, so richer chains and
+    # shallower advances may win back rounds (run with SIENERF_BITS=word).
+    "v8": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),  # v6 winner, the reference row
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=96, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32),
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32),
+        dict(candidates=128, evals=24, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32),
+    ],
     # single-config set: the shipping v6 winner, for one-flag A/Bs
     # (SIENERF_BITS / SIENERF_FLUSH / SIENERF_COMPACT)
     "winner": [
