@@ -267,6 +267,19 @@ class GeometryEngine:
 
     # --- hybrid frame -----------------------------------------------------
 
+    def _ensure_nerf_bakes(self, nerf_objs):
+        """Bake each NeRF object's feature grid once (cached on the object);
+        returns [(grid, meta)] aligned with nerf_objs."""
+        from sienerf_tpu.ops.optim import inference_params
+
+        out = []
+        for o in nerf_objs:
+            if getattr(o, "_bake", None) is None:
+                params = inference_params(o.nerf_state["opt"], o.nerf_state["params"])
+                o._bake = o.nerf.bake_features(params, o.nerf_state["occ"])
+            out.append(o._bake)
+        return out
+
     def render_frame(
         self,
         width: int,
@@ -275,6 +288,7 @@ class GeometryEngine:
         focal_length,
         background=(1.0, 1.0, 1.0),
         tile: int = 1 << 14,
+        renderer: str = "live",
     ):
         """Hybrid composition: mesh pass writes color+depth; each NeRF object
         is then marched with t_far clamped to the mesh depth and alpha-
@@ -286,21 +300,34 @@ class GeometryEngine:
         NeRF object's march+blend (statically unrolled over objects).  The
         round-1 version looped tiles in Python with numpy writebacks
         (multi-second 480x360 frames); the scanned graph keeps the whole
-        frame on-device (VERDICT r1 weak #6)."""
+        frame on-device (VERDICT r1 weak #6).
+
+        renderer="baked" routes each NeRF object through its baked feature
+        grid (render_rays_baked, bake cached per object) — the interactive
+        hybrid path; "live" marches the hash field directly (the quality
+        cross-check)."""
         n = width * height
         n_tiles = (n + tile - 1) // tile
         nerf_objs = [o for o in self.objects if o.kind == "nerf" and o.nerf is not None]
-        key = (width, height, tile, len(nerf_objs), self.shade_mode)
+        bakes = self._ensure_nerf_bakes(nerf_objs) if renderer == "baked" else [
+            None for _ in nerf_objs
+        ]
+        metas = tuple(b[1] if b else None for b in bakes)
+        key = (
+            width, height, tile, len(nerf_objs), self.shade_mode, renderer,
+            tuple(tuple(sorted(m.items())) if m else None for m in metas),
+        )
         cache = getattr(self, "_frame_jits", None)
         if cache is None:
             cache = self._frame_jits = {}
         if key not in cache:
             engines = [o.nerf for o in nerf_objs]
             has_mesh = self.bvh_dev is not None
+            from sienerf_tpu.engines.nerf_baked import render_rays_baked
             from sienerf_tpu.ops.optim import inference_params
 
             @jax.jit
-            def frame(geom, nerf_states, centers, cam, fl, bg):
+            def frame(geom, nerf_states, grids, centers, cam, fl, bg):
                 idx = jnp.arange(n_tiles * tile)
                 px = (idx % width).astype(jnp.float32)
                 py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
@@ -325,14 +352,23 @@ class GeometryEngine:
                         rgb = jnp.zeros((tile, 3))
                         depth = jnp.full((tile,), jnp.inf)
                         alpha = jnp.zeros((tile,))
-                    for eng, (params, bf), center in zip(engines, nerf_args, centers):
+                    for eng, (params, bf), grid, meta, center in zip(
+                        engines, nerf_args, grids, metas, centers
+                    ):
                         # clamp the NeRF march at the mesh surface: fragments
                         # behind the mesh are never generated (strictly
                         # better than the reference's post-hoc per-fragment
                         # depth test, same visible result)
-                        nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
-                            params, bf, oo - center, dd, t_cap=depth
-                        )
+                        if renderer == "baked":
+                            nerf_rgb, nerf_op, nerf_depth = render_rays_baked(
+                                eng, params, grid, meta, bf, oo - center, dd,
+                                P=64, evals=16, step_scale=4.0,
+                                t_cap=depth,
+                            )
+                        else:
+                            nerf_rgb, nerf_op, nerf_depth = eng.render_rays(
+                                params, bf, oo - center, dd, t_cap=depth
+                            )
                         in_front = (nerf_op > 0.0) & (nerf_depth < depth)
                         a = jnp.where(in_front, nerf_op, 0.0)
                         # NeRF fragment over the frame: fb = nerf + fb*(1-a)
@@ -364,6 +400,7 @@ class GeometryEngine:
         rgba, depth = cache[key](
             geom,
             tuple(o.nerf_state for o in nerf_objs),
+            tuple(b[0] if b else None for b in bakes),
             tuple(jnp.asarray(o.center, jnp.float32) for o in nerf_objs),
             jnp.asarray(camera_matrix, jnp.float32),
             jnp.asarray(focal_length, jnp.float32),

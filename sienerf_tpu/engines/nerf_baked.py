@@ -314,7 +314,7 @@ def render_rays_baked(
     engine, params, grid, meta, bitfield, o, d,
     P: int = 128, evals: int = 32, step_scale: float = 1.0,
     max_rounds: int = 24, adv_iters: int = 16, min_transmittance=None,
-    near=None,
+    near=None, t_cap=None,
 ):
     """Fixed ray batch through the baked field -> (rgb (N,3), opacity (N,),
     depth (N,)).  The masked-loop sibling of render_frame_baked (no pixel
@@ -325,7 +325,9 @@ def render_rays_baked(
     unnormalized camera rays (z=1 convention); marching happens along the
     normalized direction (so dts are world lengths and the absorption
     integral is FOV-independent) and the returned depth is z-depth
-    (t / |d|)."""
+    (t / |d|).  `t_cap` (per-ray, in z-depth units of the unnormalized
+    dirs, like NerfEngine.render_rays) bounds the march — the hybrid
+    geometry pass stops at mesh surfaces with it."""
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
     from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
 
@@ -341,7 +343,10 @@ def render_rays_baked(
     blo, bhi = occupied_bbox(bitfield)
     btmin, btmax = ray_box_times(o, d, blo, bhi)
     t0 = jnp.maximum(t0, btmin)
-    t1 = jnp.maximum(jnp.minimum(t1, btmax), t0)
+    t1 = jnp.minimum(t1, btmax)
+    if t_cap is not None:
+        t1 = jnp.minimum(t1, t_cap * dn[:, 0])
+    t1 = jnp.maximum(t1, t0)
     A = o.shape[0]
     state = dict(
         t=t0, T=jnp.ones((A,), jnp.float32), rgb=jnp.zeros((A, 3), jnp.float32),

@@ -93,6 +93,16 @@ def test_hybrid_mesh_nerf_composition():
     assert nerf_region.sum() > 10
     # and hybrid depth must be finite on solid NeRF pixels (depth overwrite)
     assert np.isfinite(depth[nerf_region]).sum() > 5
+    # baked-renderer hybrid path: same composition through the feature grid
+    rgba_b, depth_b = geo.render_frame(
+        64, 64, cam, (48.0, 48.0), tile=64 * 64, renderer="baked"
+    )
+    assert np.isfinite(rgba_b).all()
+    nerf_region_b = (rgba_b[..., 3] > 0.5) & ~mesh_hit
+    assert nerf_region_b.sum() > 10
+    # the two renderers agree on coverage (lattice-quantized field)
+    agree = np.mean((rgba[..., 3] > 0.5) == (rgba_b[..., 3] > 0.5))
+    assert agree > 0.9, agree
 
 
 def test_irradiance_constant_envmap_identity():

@@ -62,16 +62,41 @@ def main():
     cam = look_at_matrix(np.asarray(cam_pos0, np.float32), np.asarray(target0, np.float32))
     fl = (420.0 * W / 480.0, 420.0 * W / 480.0)
 
-    def frame():
-        return geo.render_frame(W, H, cam, fl, background=(0.0, 0.0, 0.0), tile=1 << 14)
+    # mesh pass alone (primary + shadow BVH traversal, no NeRF): separates
+    # a BVH-bound frame from a NeRF-bound one
+    from sienerf_tpu.utils.camera import uv_to_ray
 
-    rgba, depth = frame()
-    a = float(jnp.asarray(rgba[..., 3]).mean())  # compile+sync
+    idx = jnp.arange(W * H)
+    uv = jnp.stack([((idx % W).astype(jnp.float32) + 0.5) / W,
+                    ((idx // W).astype(jnp.float32) + 0.5) / H], axis=-1)
+    o_all, d_all = uv_to_ray(uv, (W, H), jnp.asarray(fl, jnp.float32),
+                             jnp.asarray(cam, jnp.float32))
+    mrgb, mdepth, mhit = geo.render_mesh_rays(o_all, d_all)
+    float(jnp.asarray(mdepth[0]))
     t0 = time.time()
-    rgba, depth = frame()
-    float(jnp.asarray(rgba[0, 0, 0]))
-    dt = time.time() - t0
-    print(f"hybrid {W}x{H} frame: {dt*1e3:.0f} ms ({W*H/dt/1e6:.2f} Mrays/s), alpha mean {a:.3f}")
+    mrgb, mdepth, mhit = geo.render_mesh_rays(o_all, d_all)
+    float(jnp.asarray(mdepth[0]))
+    print(f"mesh pass alone: {(time.time()-t0)*1e3:.0f} ms "
+          f"(hit {float(jnp.asarray(mhit).mean()):.3f})", flush=True)
+
+    for renderer in ("baked", "live"):
+        def frame():
+            return geo.render_frame(
+                W, H, cam, fl, background=(0.0, 0.0, 0.0), tile=1 << 14,
+                renderer=renderer,
+            )
+
+        t0 = time.time()
+        rgba, depth = frame()
+        a = float(jnp.asarray(rgba[..., 3]).mean())  # compile(+bake)+sync
+        print(f"hybrid {renderer} warmup (compile+bake): {time.time()-t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        rgba, depth = frame()
+        float(jnp.asarray(rgba[0, 0, 0]))
+        dt = time.time() - t0
+        print(f"hybrid {W}x{H} frame ({renderer}): {dt*1e3:.0f} ms "
+              f"({W*H/dt/1e6:.2f} Mrays/s), alpha mean {a:.3f}", flush=True)
 
 
 if __name__ == "__main__":
