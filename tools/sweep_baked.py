@@ -170,6 +170,24 @@ CONFIG_SETS = {
         dict(candidates=128, evals=24, step_scale=4.0, advance_iters=8,
              init_advance_iters=32),
     ],
+    # v9: eval-window re-tune under the coarse cull (default SIENERF_CULL):
+    # coarse keeps ~15% more candidates, so 73% of ray-rounds overflow at
+    # ev=16 and re-probe their rolled-back span — a wider window trades
+    # gather slots against probe/advance re-work.
+    "v9": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),  # coarse-cull reference row
+        dict(candidates=64, evals=20, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=64, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=64, evals=32, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=80, evals=20, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+        dict(candidates=96, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32),
+    ],
     # single-config set: the shipping v6 winner, for one-flag A/Bs
     # (SIENERF_BITS / SIENERF_FLUSH / SIENERF_COMPACT)
     "winner": [
