@@ -239,6 +239,28 @@ def _baked_alive(engine, s, max_rounds: int):
     )
 
 
+def _cull_keep(grid, meta, pos, valid):
+    """The candidate cull: keep mask + fine nearest-vertex ids (the merge
+    runs on fine ids regardless of which sidecar probes).
+
+    Default probes the half-res conservative sidecar — the 0.8 MB pooled
+    table probes at ~315 M/s vs the 6.4 MB full-res one's ~200 M/s
+    (ops/baked.py coarse_live_bits); extra keeps gather the fine sentinel
+    and composite to zero, so the frame matches the full-res cull up to
+    minT termination quantization (>50 dB).  SIENERF_CULL=fine restores
+    the full-res probe (A/B knob, read at trace time)."""
+    import os
+
+    R, K = meta["resolution"], meta["n_cascades"]
+    flat, oob, _ = nearest_vertex_ids(R, K, pos)
+    if os.environ.get("SIENERF_CULL", "coarse") == "coarse" and "bits2" in grid:
+        flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
+        keep = valid & ~oob2 & lookup_bits_auto(grid["bits2"], flat2)
+    else:
+        keep = valid & ~oob & lookup_bits_auto(grid["bits"], flat)
+    return keep, flat
+
+
 def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
                      alive, P: int, evals: int, step_scale: float, adv_iters: int):
     """One bulk march/eval pass over a fixed ray set: DDA-advance past empty
@@ -246,11 +268,12 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
     merge, stable compaction to `evals` survivors, one feature gather per
     survivor, composite.
 
-    The cull is what makes the pass affordable: candidates probe a 6 MB
-    packed bit table (~4x the gather rate of the 0.8 GB feature table), and
-    only the ~evals/P fraction with live density pay the wide gather + color
-    MLP.  A ray with more than `evals` survivors rolls its clock back to the
-    first dropped survivor so no dense sample is ever skipped.
+    The cull is what makes the pass affordable: candidates probe a packed
+    bit sidecar (0.8 MB half-res by default — _cull_keep; ~3x the gather
+    rate of the 0.8 GB feature table), and only the ~evals/P fraction with
+    live density pay the wide gather + color MLP.  A ray with more than
+    `evals` survivors rolls its clock back to the first dropped survivor so
+    no dense sample is ever skipped.
 
     Returns (rgb_add (A,3), opacity_add (A,), T_out (A,), t_next (A,),
     best_w, best_t, n_kept (A,), overflow (A,))."""
@@ -274,20 +297,8 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
     else:
-        import os
-
+        keep, flat = _cull_keep(grid, meta, pos, valid)
         R, K = meta["resolution"], meta["n_cascades"]
-        flat, oob, _ = nearest_vertex_ids(R, K, pos)
-        if os.environ.get("SIENERF_CULL", "coarse") == "coarse" and "bits2" in grid:
-            # half-res conservative cull sidecar: 0.8 MB probes at ~315 M/s
-            # vs the 6.4 MB full-res table's ~200 M/s (ops/baked.py
-            # coarse_live_bits); extra keeps gather the sentinel and
-            # composite to zero, so the frame matches the full-res cull
-            # up to minT termination quantization (>50 dB)
-            flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
-            keep = valid & ~oob2 & lookup_bits_auto(grid["bits2"], flat2)
-        else:
-            keep = valid & ~oob & lookup_bits_auto(grid["bits"], flat)
         # exact same-vertex run merge: the window bound covers the longest
         # possible run — the sqrt(3) diagonal chord of the coarsest
         # cascade's Voronoi cell over the smallest step

@@ -89,7 +89,10 @@ def main():
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
         if level == 1.5:  # vertex-id arithmetic alone (pos, mip, flat id)
             return jnp.sum(flat) + jnp.sum(oob)
-        keep = valid & ~oob & lookup_bits(grid["bits"], flat)
+        # production cull (SIENERF_CULL-aware; coarse sidecar by default)
+        from sienerf_tpu.engines.nerf_baked import _cull_keep
+
+        keep, flat = _cull_keep(grid, meta, pos, valid)
         if level == 2:
             return jnp.sum(keep)
         if bound < P:
