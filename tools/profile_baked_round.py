@@ -176,6 +176,21 @@ def main():
         n_overflow=jnp.asarray(0, jnp.int32),
     )
 
+    from sienerf_tpu.engines.nerf_baked import _baked_accum_pass
+
+    @jax.jit
+    def run_accum(st, p, grid, bitfield, iters=8):
+        # production-shaped loop (state threaded) WITHOUT the flush/refill
+        # tail: full-round minus this isolates the tail's true cost in situ
+        # (the isolated-prefix stages above run a different workload, so
+        # their delta to 'full round' conflates tail cost with divergence)
+        def body(i, s):
+            return _baked_accum_pass(
+                eng, s, p, grid, meta, bitfield, P, EV, SS, 24, ADV
+            )
+
+        return jax.lax.fori_loop(0, iters, body, st)
+
     @jax.jit
     def run_full(st, p, grid, bitfield, rays_pre, iters=8):
         def body(i, s):
@@ -185,13 +200,20 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, st)
 
-    out = run_full(st, params, grid, bitfield, rays_pre)
-    jax.block_until_ready(out["out"])
-    t = time.time()
-    out = run_full(st, params, grid, bitfield, rays_pre)
-    jax.block_until_ready(out["out"])
-    dt = (time.time() - t) / 8
-    print(f"{'full round':12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-composite_total):7.2f} = flush/refill)")
+    accum_dt = None
+    for name, fn in (("accum only", lambda: run_accum(st, params, grid, bitfield)),
+                     ("full round", lambda: run_full(st, params, grid, bitfield, rays_pre))):
+        out = fn()
+        jax.block_until_ready(out["out"])
+        t = time.time()
+        out = fn()
+        jax.block_until_ready(out["out"])
+        dt = (time.time() - t) / 8
+        ref = composite_total if accum_dt is None else accum_dt
+        tag = "vs prefix" if accum_dt is None else "= flush/refill"
+        print(f"{name:12s} {dt*1e3:8.2f} ms/round  (delta {1e3*(dt-ref):7.2f} {tag})")
+        if accum_dt is None:
+            accum_dt = dt
 
 
 if __name__ == "__main__":
