@@ -35,7 +35,9 @@ N = 1 << 22
 
 
 def run_case(name, idx, iters=8):
-    table = jnp.arange(T * 4, dtype=jnp.int32).reshape(T, 4)
+    # jnp.ones picks the packed (row-major) layout; an eager arange+reshape
+    # materializes a T(8,128)-tiled 26 GB intermediate and OOMs the chip.
+    table = jnp.ones((T, 4), jnp.int32)
 
     @jax.jit
     def run(table, idx):
