@@ -39,11 +39,15 @@ from sienerf_tpu.models.nerf_network import (
 )
 from sienerf_tpu.ops.baked import (
     baked_features,
+    brick_probe_ids,
     cascade_extent,
     coarse_live_bits,
+    coarse_live_bits_brick,
     compact_candidates_auto,
     lookup_bits_auto,
+    lookup_bits_brick,
     merge_same_vertex_runs,
+    nearest_vertex_coords,
     nearest_vertex_ids,
     pack_bits,
     pack_cells_from_vertices,
@@ -159,14 +163,16 @@ def bake_feature_grid(
             jnp.concatenate(per_casc, axis=0),
             pack_bits(live_all),
             coarse_live_bits(live_all, R, n_casc),
+            coarse_live_bits_brick(live_all, R, n_casc),
         )
 
-    vrows, bits, bits2 = bake_vertices(params, scale)
+    vrows, bits, bits2, bits2b = bake_vertices(params, scale)
     if mode == "trilinear":
         rows = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(vrows, R, n_casc)
     else:
         rows = vrows
-    grid = {"rows": rows, "scale": scale, "bits": bits, "bits2": bits2}
+    grid = {"rows": rows, "scale": scale, "bits": bits, "bits2": bits2,
+            "bits2b": bits2b}
     return grid, {"resolution": R, "mode": mode, "n_cascades": n_casc}
 
 
@@ -243,17 +249,28 @@ def _cull_keep(grid, meta, pos, valid):
     """The candidate cull: keep mask + fine nearest-vertex ids (the merge
     runs on fine ids regardless of which sidecar probes).
 
-    Default probes the half-res conservative sidecar — the 0.8 MB pooled
-    table probes at ~315 M/s vs the 6.4 MB full-res one's ~200 M/s
-    (ops/baked.py coarse_live_bits); extra keeps gather the fine sentinel
-    and composite to zero, so the frame matches the full-res cull up to
-    minT termination quantization (>50 dB).  SIENERF_CULL=fine restores
-    the full-res probe (A/B knob, read at trace time)."""
+    Default probes the half-res conservative sidecar in BRICK packing with
+    chain dedup (ops/bits.py lookup_bits_brick): probes are descriptor-
+    limited, and consecutive candidates share 4x4x8 bricks for runs of ~4-8,
+    so the deduped probe issues ~4x fewer gathers than one-row-per-candidate.
+    Conservative everywhere (head-budget overflow keeps): extra keeps gather
+    the fine sentinel and composite to zero, so the frame matches the
+    full-res cull up to minT termination quantization (>50 dB).
+    SIENERF_CULL=coarse restores the per-candidate half-res probe,
+    SIENERF_CULL=fine the full-res one (A/B knobs, read at trace time);
+    SIENERF_CULL_HEADS sizes the dedup head budget (default 16)."""
     import os
 
     R, K = meta["resolution"], meta["n_cascades"]
     flat, oob, _ = nearest_vertex_ids(R, K, pos)
-    if os.environ.get("SIENERF_CULL", "coarse") == "coarse" and "bits2" in grid:
+    cull = os.environ.get("SIENERF_CULL", "brick")
+    if cull == "brick" and "bits2b" in grid:
+        R2v = R // 2 + 1
+        k3, oob2, m2 = nearest_vertex_coords(R // 2, K, pos)
+        row, off = brick_probe_ids(k3, m2, (K, R2v, R2v, R2v))
+        n_heads = int(os.environ.get("SIENERF_CULL_HEADS", "16"))
+        keep = valid & ~oob2 & lookup_bits_brick(grid["bits2b"], row, off, n_heads)
+    elif cull != "fine" and "bits2" in grid:
         flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
         keep = valid & ~oob2 & lookup_bits_auto(grid["bits2"], flat2)
     else:

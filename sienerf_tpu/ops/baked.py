@@ -86,18 +86,24 @@ def _apply_sentinel(feats: jnp.ndarray, sent: jnp.ndarray) -> jnp.ndarray:
 _CORNER_BITS = [((c >> 2) & 1, (c >> 1) & 1, c & 1) for c in range(8)]
 
 
-def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
-    """World positions -> (flat nearest-vertex id, oob mask, cascade).
+def nearest_vertex_coords(resolution: int, n_cascades: int, pos: jnp.ndarray):
+    """World positions -> (integer vertex coords (..., 3), oob mask, cascade).
 
-    Shared by the feature lookup and the packed-bit candidate cull so both
+    Shared by the feature lookup and the packed-bit candidate culls so all
     agree exactly on which vertex a sample reads."""
     R = resolution
-    Rv = R + 1
     m = mip_from_pos(pos, n_cascades)
     u = (pos - 0.5) / cascade_extent(m)[..., None] + 0.5
     oob = jnp.any((u < 0.0) | (u >= 1.0), axis=-1)
-    kx = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
-    flat = m * (Rv * Rv * Rv) + (kx[..., 0] * Rv + kx[..., 1]) * Rv + kx[..., 2]
+    k3 = jnp.clip(jnp.round(u * R).astype(jnp.int32), 0, R)
+    return k3, oob, m
+
+
+def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
+    """World positions -> (flat nearest-vertex id, oob mask, cascade)."""
+    Rv = resolution + 1
+    k3, oob, m = nearest_vertex_coords(resolution, n_cascades, pos)
+    flat = m * (Rv * Rv * Rv) + (k3[..., 0] * Rv + k3[..., 1]) * Rv + k3[..., 2]
     return flat, oob, m
 
 
@@ -105,9 +111,12 @@ def nearest_vertex_ids(resolution: int, n_cascades: int, pos: jnp.ndarray):
 # march probes); re-exported here because the baked sidecar's consumers
 # import them from this module.
 from sienerf_tpu.ops.bits import (  # noqa: E402,F401
+    brick_probe_ids,
     lookup_bits,
     lookup_bits_auto,
+    lookup_bits_brick,
     pack_bits,
+    pack_bits_brick,
 )
 
 
@@ -126,6 +135,12 @@ def coarse_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -
     guarantees no dense sample is skipped), so the rendered image is
     unchanged.
     """
+    return pack_bits(_coarse_live_pool(live_flat, resolution, n_cascades))
+
+
+def _coarse_live_pool(live_flat: jnp.ndarray, resolution: int, n_cascades: int):
+    """(K*(R+1)^3,) live bools -> (K*(R/2+1)^3,) conservative half-res cover
+    (3^3-OR / stride-2 max-pool — see coarse_live_bits)."""
     R = resolution
     assert R % 2 == 0
     Rv = R + 1
@@ -135,7 +150,20 @@ def coarse_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -
         window_dimensions=(1, 3, 3, 3), window_strides=(1, 2, 2, 2),
         padding=((0, 0), (1, 1), (1, 1), (1, 1)),
     )  # (K, R/2+1, R/2+1, R/2+1)
-    return pack_bits(pooled.reshape(-1) > 0)
+    return pooled.reshape(-1) > 0
+
+
+def coarse_live_bits_brick(live_flat: jnp.ndarray, resolution: int, n_cascades: int):
+    """The half-res cull sidecar in 4x4x8-BRICK row packing (ops/bits.py):
+    same bits as coarse_live_bits, laid out so consecutive candidates along a
+    ray share 128-bit rows — the chain-deduped probe (lookup_bits_brick)
+    then issues ~4x fewer gather descriptors, which is the entire probe cost
+    (descriptor-limited; locality/width measured irrelevant)."""
+    R2v = resolution // 2 + 1
+    return pack_bits_brick(
+        _coarse_live_pool(live_flat, resolution, n_cascades),
+        (n_cascades, R2v, R2v, R2v),
+    )
 
 
 def cull_candidates(

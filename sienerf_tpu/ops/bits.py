@@ -62,3 +62,79 @@ def lookup_bits_auto(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     if os.environ.get("SIENERF_BITS", "row") == "word":
         return lookup_bits_word(words, flat)
     return lookup_bits(words, flat)
+
+
+# --- 3D-brick packing: probe-descriptor dedup along candidate chains ---------
+#
+# Measured (tools/bench_coherent_gather.py + row-width ladder, ninth window):
+# TPU gathers are descriptor-limited at a flat rows/s rate that is
+# independent of address locality AND of row width up to 256 B.  The only
+# probe-cost lever left is issuing FEWER descriptors.  Linear 128-bit rows
+# share nothing across a candidate chain (ids jump by ~Rv per step except
+# along z); packing bits as 4x4x8 spatial BRICKS makes consecutive candidates
+# (~0.4-1 voxel apart) land in the same 128-bit row for runs of ~4-8, so a
+# chain of P probes needs only ~P/4 row gathers: detect run heads, compact
+# their row ids with a one-hot MXU contraction (the MXU is idle during the
+# cull), gather once per head, and broadcast each row back down its run with
+# a second one-hot contraction.
+
+BRICK = (4, 4, 8)  # x, y, z vertices per brick = 128 bits = one 16-byte row
+
+
+def brick_grid_dims(dims, brick=BRICK):
+    """Lattice (K, X, Y, Z) -> per-cascade brick-grid dims (BX, BY, BZ)."""
+    _, X, Y, Z = dims
+    bx, by, bz = brick
+    return -(-X // bx), -(-Y // by), -(-Z // bz)
+
+
+def pack_bits_brick(keep: jnp.ndarray, dims, brick=BRICK) -> jnp.ndarray:
+    """(K*X*Y*Z,) bool over a (K, X, Y, Z) lattice -> (K*BX*BY*BZ, 4) uint32
+    rows, one brick = one 128-bit row.  Bit offset within a brick is
+    ox*(by*bz) + oy*bz + oz (so word = off>>5, bit = off&31)."""
+    K, X, Y, Z = dims
+    bx, by, bz = brick
+    BX, BY, BZ = brick_grid_dims(dims, brick)
+    v = keep.reshape(K, X, Y, Z)
+    v = jnp.pad(v, ((0, 0), (0, BX * bx - X), (0, BY * by - Y), (0, BZ * bz - Z)))
+    v = v.reshape(K, BX, bx, BY, by, BZ, bz).transpose(0, 1, 3, 5, 2, 4, 6)
+    return pack_bits(v.reshape(-1))
+
+
+def brick_probe_ids(k3: jnp.ndarray, casc: jnp.ndarray, dims, brick=BRICK):
+    """Integer vertex coords (..., 3) + cascade (...,) -> (row, off) into the
+    brick-packed table."""
+    bx, by, bz = brick
+    BX, BY, BZ = brick_grid_dims(dims, brick)
+    kx, ky, kz = k3[..., 0], k3[..., 1], k3[..., 2]
+    row = ((casc * BX + (kx // bx)) * BY + (ky // by)) * BZ + (kz // bz)
+    off = (kx % bx) * (by * bz) + (ky % by) * bz + (kz % bz)
+    return row, off
+
+
+def lookup_bits_brick(
+    words: jnp.ndarray, row: jnp.ndarray, off: jnp.ndarray, n_heads: int
+) -> jnp.ndarray:
+    """Chain-deduped brick probe: (A, P) per-candidate (row, off) -> (A, P)
+    bool, gathering each ray's distinct-consecutive rows only (<= n_heads of
+    them).  Rows past the head budget return True (conservative keep: the
+    fine gather's sentinel composites extras to zero, so the frame is
+    unchanged) — size n_heads for the common case, not the worst."""
+    A, P = row.shape
+    head = jnp.concatenate([jnp.ones((A, 1), bool), row[:, 1:] != row[:, :-1]], axis=1)
+    slot = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1  # (A, P) my run's slot
+    ovf = slot >= n_heads
+    s = jnp.arange(n_heads, dtype=jnp.int32)
+    sel = (slot[..., None] == s).astype(jnp.float32)  # (A, P, S); ovf rows are all-zero
+    # compact head row ids to (A, S): one-hot contraction (exact: ids < 2^24)
+    ids = jnp.einsum("aps,ap->as", sel * head[..., None], row.astype(jnp.float32))
+    rows4 = jnp.take(words, ids.astype(jnp.int32).reshape(-1), axis=0).reshape(A, n_heads, 4)
+    # broadcast each head's row back down its run (uint32 split into exact
+    # f32-representable 16-bit halves for the MXU contraction)
+    lo = jnp.einsum("aps,asw->apw", sel, (rows4 & jnp.uint32(0xFFFF)).astype(jnp.float32))
+    hi = jnp.einsum("aps,asw->apw", sel, (rows4 >> 16).astype(jnp.float32))
+    myrow = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)  # (A, P, 4)
+    lane = (off >> 5)[..., None] == jnp.arange(4, dtype=jnp.int32)
+    w = jnp.sum(jnp.where(lane, myrow, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+    bit = ((w >> (off & 31).astype(jnp.uint32)) & 1).astype(bool)
+    return bit | ovf

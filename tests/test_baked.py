@@ -56,6 +56,79 @@ def test_pack_lookup_bits_roundtrip():
     assert np.array_equal(np.asarray(got4), np.asarray(keep))
 
 
+def test_pack_bits_brick_roundtrip():
+    """Brick packing is a pure re-layout: probing any lattice bit through
+    (brick_probe_ids, lookup_bits_brick) returns the original bool."""
+    from sienerf_tpu.ops.bits import brick_probe_ids, lookup_bits_brick, pack_bits_brick
+
+    K, X, Y, Z = 2, 9, 9, 9  # deliberately non-multiples of the brick dims
+    rng = np.random.default_rng(7)
+    keep = rng.random(K * X * Y * Z) < 0.4
+    words = pack_bits_brick(jnp.asarray(keep), (K, X, Y, Z))
+    # probe every lattice site, chain-shaped (A, P)
+    kk, xx, yy, zz = np.meshgrid(
+        np.arange(K), np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
+    )
+    k3 = jnp.asarray(np.stack([xx, yy, zz], -1).reshape(-1, 81, 3))
+    casc = jnp.asarray(kk.reshape(-1, 81))
+    row, off = brick_probe_ids(k3, casc, (K, X, Y, Z))
+    got = lookup_bits_brick(words, row, off, n_heads=81)
+    want = keep.reshape(K, X, Y, Z)[kk, xx, yy, zz].reshape(-1, 81)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_lookup_bits_brick_dedup_and_overflow():
+    """Chain-run dedup is exact within the head budget; rows past it return
+    True (conservative keep, never a wrong cull)."""
+    from sienerf_tpu.ops.bits import lookup_bits_brick
+
+    words = jnp.asarray(
+        np.stack([np.array([0, 0, 0, 0], np.uint32),          # brick 0: empty
+                  np.array([0xFFFFFFFF] * 4, np.uint32),       # brick 1: full
+                  np.array([2, 0, 0, 0], np.uint32)]))         # brick 2: bit 1 only
+    row = jnp.asarray([[0, 0, 1, 1, 2, 2, 0, 0]])  # 4 runs
+    off = jnp.asarray([[0, 5, 0, 99, 1, 0, 3, 3]])
+    want = np.asarray([[0, 0, 1, 1, 1, 0, 0, 0]], bool)
+    got = lookup_bits_brick(words, row, off, n_heads=4)
+    assert np.array_equal(np.asarray(got), want)
+    # head budget 2: runs 3 and 4 overflow -> conservative True; first two
+    # runs still exact
+    got2 = np.asarray(lookup_bits_brick(words, row, off, n_heads=2))
+    assert np.array_equal(got2[0, :4], want[0, :4])
+    assert got2[0, 4:].all()
+
+
+def test_coarse_brick_cull_matches_coarse():
+    """The brick-packed sidecar carries the same pooled bits as the linear
+    coarse one: with a head budget >= P the deduped probe is bit-exact vs
+    the per-candidate coarse probe on chain-shaped positions."""
+    from sienerf_tpu.ops.baked import (
+        coarse_live_bits,
+        coarse_live_bits_brick,
+        nearest_vertex_coords,
+    )
+    from sienerf_tpu.ops.bits import brick_probe_ids, lookup_bits_brick
+
+    R, K = 16, 2
+    n_vert = K * (R + 1) ** 3
+    live = jax.random.bernoulli(jax.random.PRNGKey(21), 0.3, (n_vert,))
+    words_c = coarse_live_bits(live, R, K)
+    words_b = coarse_live_bits_brick(live, R, K)
+    # chain-shaped positions: rays with small coherent steps
+    rng = np.random.default_rng(22)
+    o = rng.uniform(-0.2, 1.2, (64, 1, 3))
+    d = rng.normal(size=(64, 1, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos = jnp.asarray(o + d * np.arange(32)[None, :, None] * 0.02)
+    flat_c, oob_c, _ = nearest_vertex_ids(R // 2, K, pos)
+    keep_c = np.asarray(lookup_bits(words_c, flat_c) & ~oob_c)
+    R2v = R // 2 + 1
+    k3, oob_b, m2 = nearest_vertex_coords(R // 2, K, pos)
+    row, off = brick_probe_ids(k3, m2, (K, R2v, R2v, R2v))
+    keep_b = np.asarray(lookup_bits_brick(words_b, row, off, n_heads=32) & ~oob_b)
+    assert np.array_equal(keep_b, keep_c)
+
+
 def test_cull_matches_nearest_vertex():
     R, K = 8, 2
     n_vert = K * (R + 1) ** 3
@@ -268,7 +341,7 @@ def test_coarse_cull_frame_matches(trained_small, monkeypatch):
     o, d = uv_to_ray(uv, (RES, RES), tuple(np.asarray(ds.focal_lengths[0])),
                      ds.xforms[0], (0.5, 0.5), eng.lens)
     outs = {}
-    for cull in ("fine", "coarse"):
+    for cull in ("fine", "coarse", "brick"):
         monkeypatch.setenv("SIENERF_CULL", cull)
         _jax.clear_caches()  # the env knob is read at trace time
         rgb, op, depth = render_rays_baked(
@@ -281,6 +354,11 @@ def test_coarse_cull_frame_matches(trained_small, monkeypatch):
     assert np.allclose(outs["fine"][0], outs["coarse"][0], atol=5e-2)
     assert np.allclose(outs["fine"][1], outs["coarse"][1], atol=8e-2)
     assert np.mean(np.abs(outs["fine"][0] - outs["coarse"][0])) < 5e-3
+    # the brick cull keeps a (conservative) superset of the coarse keeps —
+    # same pooled bits, head-budget overflows only ADD keeps — so its frame
+    # deviates from coarse by at most the same minT-quantization mechanism
+    assert np.allclose(outs["brick"][0], outs["coarse"][0], atol=5e-2)
+    assert np.mean(np.abs(outs["brick"][0] - outs["coarse"][0])) < 5e-3
 
 
 def test_merge_same_vertex_runs_exact():
