@@ -39,7 +39,9 @@ from sienerf_tpu.models.nerf_network import (
 )
 from sienerf_tpu.ops.baked import (
     baked_features,
+    baked_features_brick,
     brick_probe_ids,
+    pack_bricks_from_vertices,
     cascade_extent,
     coarse_live_bits,
     coarse_live_bits_brick,
@@ -167,12 +169,19 @@ def bake_feature_grid(
         )
 
     vrows, bits, bits2, bits2b = bake_vertices(params, scale)
+    grid = {"scale": scale, "bits": bits, "bits2": bits2, "bits2b": bits2b}
     if mode == "trilinear":
-        rows = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(vrows, R, n_casc)
+        grid["rows"] = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(
+            vrows, R, n_casc
+        )
     else:
-        rows = vrows
-    grid = {"rows": rows, "scale": scale, "bits": bits, "bits2": bits2,
-            "bits2b": bits2b}
+        grid["rows"] = vrows
+        # 256-byte brick rows for the chain-deduped fine gather
+        # (SIENERF_FINE=brick, the default): +~1x table memory, gathers
+        # at the same rows/s with ~2x fewer descriptors
+        grid["brows"] = jax.jit(pack_bricks_from_vertices, static_argnums=(1, 2))(
+            vrows, R, n_casc
+        )
     return grid, {"resolution": R, "mode": mode, "n_cascades": n_casc}
 
 
@@ -213,12 +222,18 @@ def _candidate_chain(t0, cone_angle: float, n: int, step_scale: float):
 
 def _baked_sample_colors(engine, params, grid, meta, o, d, ts, valid):
     """Evaluate baked features + the color MLP at candidates (A, P)."""
-    A, P = ts.shape
     pos = o[:, None, :] + ts[..., None] * d[:, None, :]
     raw = baked_features(
         grid["rows"], grid["scale"],
         meta["resolution"], meta["n_cascades"], meta["mode"], pos.reshape(-1, 3),
     )  # (A*P, F)
+    return _colors_from_raw(engine, params, raw, d, ts.shape, valid)
+
+
+def _colors_from_raw(engine, params, raw, d, shape, valid):
+    """(A*P, F) raw baked features -> per-candidate (rgb (A,P,3), dens (A,P))
+    through the color MLP (shared by the row- and brick-gather paths)."""
+    A, P = shape
     dens = apply_density_activation(raw[:, 0], engine.net.density_activation)
     dirw = (d / jnp.linalg.norm(d, axis=-1, keepdims=True) + 1.0) * 0.5
     sh = sh_encode(dirw, engine.net.sh_degree)  # (A, sh)
@@ -330,7 +345,35 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)
         kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
-    rgb, dens = _baked_sample_colors(engine, params, grid, meta, o, d, ts_c, kept)
+    import os
+
+    if (
+        os.environ.get("SIENERF_FINE", "brick") == "brick"
+        and meta["mode"] == "nearest"
+        and "brows" in grid
+    ):
+        # chain-deduped brick gather: survivors sharing a 2x2x4 brick share
+        # one 256-byte descriptor; head-budget overflow rolls the ray back
+        # to the first unserved survivor (exact, same as eval overflow)
+        n_heads = int(os.environ.get("SIENERF_FINE_HEADS", "0")) or max(
+            4, ts_c.shape[1] // 2
+        )
+        pos_c = o[:, None, :] + ts_c[..., None] * d[:, None, :]
+        raw, fovf = baked_features_brick(
+            grid["brows"], grid["scale"], meta["resolution"], meta["n_cascades"],
+            pos_c, n_heads,
+        )
+        fovf = fovf & kept
+        any_ovf = jnp.any(fovf, axis=1)
+        t_first = jnp.min(jnp.where(fovf, ts_c, jnp.inf), axis=1)
+        t_next = jnp.where(any_ovf & (t_first < t_next), t_first, t_next)
+        overflow = overflow | any_ovf
+        kept = kept & ~fovf
+        rgb, dens = _colors_from_raw(
+            engine, params, raw.reshape(-1, raw.shape[-1]), d, ts_c.shape, kept
+        )
+    else:
+        rgb, dens = _baked_sample_colors(engine, params, grid, meta, o, d, ts_c, kept)
     rgb_sum, opacity, T_out, bw, bt = composite_chunk(
         rgb, dens, ts_c, dts_c, kept, T, minT
     )

@@ -317,6 +317,100 @@ def baked_features(
     return _apply_sentinel(feats, sent | oob)
 
 
+FINE_BRICK = (2, 2, 4)  # vertices per fine feature brick = 16 x 16 B = 256 B rows
+
+
+def pack_bricks_from_vertices(vrows: jnp.ndarray, resolution: int, n_cascades: int = 1,
+                              chunk: int = 1 << 19) -> jnp.ndarray:
+    """(K*(R+1)^3, F/4) vertex rows -> (K*BX*BY*BZ, 16*F/4) brick rows: the
+    2x2x4 vertices of each brick concatenated in brick_probe_ids bit order
+    (off = ox*8 + oy*4 + oz).
+
+    Rationale (measured, ninth window): 256-byte rows gather at the SAME
+    rows/s as 16-byte ones, so survivors that share a brick share ONE
+    descriptor — the only cost that exists.  Edge bricks clamp (duplicate
+    rim vertices are never addressed).  Pure device-side gathers, chunked."""
+    from sienerf_tpu.ops.bits import brick_grid_dims
+
+    R = resolution
+    Rv = R + 1
+    bx, by, bz = FINE_BRICK
+    BX, BY, BZ = brick_grid_dims((n_cascades, Rv, Rv, Rv), FINE_BRICK)
+    n_per_casc = BX * BY * BZ
+    total = n_cascades * n_per_casc
+
+    def brick_rows(bids):
+        casc = bids // n_per_casc
+        r = bids % n_per_casc
+        i0 = (r // (BY * BZ)) * bx
+        j0 = ((r // BZ) % BY) * by
+        k0 = (r % BZ) * bz
+        outs = []
+        for ox in range(bx):
+            for oy in range(by):
+                for oz in range(bz):
+                    i = jnp.minimum(i0 + ox, R)
+                    j = jnp.minimum(j0 + oy, R)
+                    k = jnp.minimum(k0 + oz, R)
+                    vflat = casc * (Rv * Rv * Rv) + (i * Rv + j) * Rv + k
+                    outs.append(jnp.take(vrows, vflat, axis=0))
+        return jnp.concatenate(outs, axis=-1)
+
+    n_chunks = -(-total // chunk)
+    ids_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
+    ids_all = jnp.minimum(ids_all, total - 1)
+    packed = jax.lax.map(brick_rows, ids_all)
+    return packed.reshape(-1, 16 * vrows.shape[-1])[:total]
+
+
+def baked_features_brick(
+    brows: jnp.ndarray,
+    scale: jnp.ndarray,
+    resolution: int,
+    n_cascades: int,
+    pos: jnp.ndarray,
+    n_heads: int,
+):
+    """Chain-deduped nearest-vertex feature lookup through the brick table:
+    (A, E, 3) survivor positions -> ((A, E, F) raw feats with sentinel,
+    (A, E) head-budget overflow).
+
+    Consecutive survivors sharing a 2x2x4 brick share one 256-byte gather
+    (detect run heads -> one-hot-compact row ids to n_heads -> gather ->
+    one-hot-select each survivor's 16-byte sub-row back out on the MXU, in
+    exact f32 16-bit halves).  Survivors past the head budget are reported
+    in `ovf` — the renderer rolls the ray clock back to the first one
+    (exactly the eval-overflow mechanism), so frames stay exact."""
+    from sienerf_tpu.ops.bits import brick_probe_ids
+
+    R, K = resolution, n_cascades
+    Rv = R + 1
+    k3, oob, m = nearest_vertex_coords(R, K, pos)
+    row, off = brick_probe_ids(k3, m, (K, Rv, Rv, Rv), FINE_BRICK)
+    A, E = row.shape
+    head = jnp.concatenate([jnp.ones((A, 1), bool), row[:, 1:] != row[:, :-1]], axis=1)
+    slot = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
+    ovf = slot >= n_heads
+    slot_c = jnp.minimum(slot, n_heads - 1)
+    s = jnp.arange(n_heads, dtype=jnp.int32)
+    selb = ((slot[..., None] == s) & head[..., None]).astype(jnp.float32)
+    ids = jnp.einsum("aeh,ae->ah", selb, row.astype(jnp.float32)).astype(jnp.int32)
+    bricks = jnp.take(brows, ids.reshape(-1), axis=0).reshape(A, n_heads, -1)
+    Ci = bricks.shape[-1] // 16
+    u = jax.lax.bitcast_convert_type(bricks, jnp.uint32).reshape(A, n_heads * 16, Ci)
+    q = slot_c * 16 + off  # my sub-row in the per-ray virtual vertex table
+    sel = (q[..., None] == jnp.arange(n_heads * 16, dtype=jnp.int32)).astype(jnp.float32)
+    lo = jnp.einsum("aeq,aqw->aew", sel, (u & jnp.uint32(0xFFFF)).astype(jnp.float32))
+    hi = jnp.einsum("aeq,aqw->aew", sel, (u >> 16).astype(jnp.float32))
+    r_u32 = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+    r_i32 = jax.lax.bitcast_convert_type(r_u32, jnp.int32)
+    scale_sel = jnp.zeros(pos.shape[:-1] + (scale.shape[-1],), jnp.float32)
+    for k in range(K):
+        scale_sel = jnp.where((m == k)[..., None], scale[k], scale_sel)
+    feats, sent = _decode_rows(r_i32, scale_sel)
+    return _apply_sentinel(feats, sent | oob), ovf
+
+
 def pack_cells_from_vertices(vrows: jnp.ndarray, resolution: int, n_cascades: int = 1,
                              chunk: int = 1 << 20) -> jnp.ndarray:
     """(K*(R+1)^3, F/4) vertex rows -> (K*R^3, 8*F/4) cell-packed rows.

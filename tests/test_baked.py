@@ -129,6 +129,44 @@ def test_coarse_brick_cull_matches_coarse():
     assert np.array_equal(keep_b, keep_c)
 
 
+def test_baked_features_brick_matches_row_path():
+    """The chain-deduped 256-byte-brick gather returns byte-identical
+    features to the per-vertex row gather (nearest mode) when the head
+    budget suffices, and flags exactly the over-budget suffix otherwise."""
+    from sienerf_tpu.ops.baked import (
+        baked_features_brick,
+        pack_bricks_from_vertices,
+    )
+
+    R, K, F = 8, 2, 16
+    n_vert = K * (R + 1) ** 3
+    rng = np.random.default_rng(31)
+    feats = jnp.asarray(rng.normal(size=(n_vert, F)) * 2.0, jnp.float32)
+    scale = jnp.stack([jnp.max(jnp.abs(feats), axis=0) / 127.0] * K)
+    keep = jnp.asarray(rng.random(n_vert) < 0.8)
+    vrows = quantize_rows(feats, scale[0], keep)
+    brows = pack_bricks_from_vertices(vrows, R, K)
+    # chain-shaped positions (A, E): short coherent walks
+    o = rng.uniform(0.2, 0.8, (32, 1, 3))
+    d = rng.normal(size=(32, 1, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos = jnp.asarray(o + d * np.arange(12)[None, :, None] * 0.05, jnp.float32)
+    want = baked_features(vrows, scale, R, K, "nearest", pos.reshape(-1, 3))
+    got, ovf = baked_features_brick(brows, scale, R, K, pos, n_heads=12)
+    assert not np.asarray(ovf).any()
+    assert np.array_equal(np.asarray(got).reshape(-1, F), np.asarray(want))
+    # tiny head budget: prefix exact, suffix flagged (never silently wrong)
+    got1, ovf1 = baked_features_brick(brows, scale, R, K, pos, n_heads=2)
+    ovf1 = np.asarray(ovf1)
+    g1 = np.asarray(got1).reshape(-1, F)[~ovf1.reshape(-1)]
+    w1 = np.asarray(want)[~ovf1.reshape(-1)]
+    assert np.array_equal(g1, w1)
+    # the flagged set is a per-ray suffix (slot is nondecreasing)
+    assert all(
+        np.all(row[np.argmax(row):] ) if row.any() else True for row in ovf1
+    )
+
+
 def test_cull_matches_nearest_vertex():
     R, K = 8, 2
     n_vert = K * (R + 1) ** 3
