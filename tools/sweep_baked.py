@@ -194,6 +194,55 @@ CONFIG_SETS = {
         dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
              init_advance_iters=32),
     ],
+    # v10: the brick-dedup era (ninth window).  Probes and fine gathers are
+    # descriptor-limited; chain dedup through 4x4x8 bit-bricks
+    # (SIENERF_CULL=brick) and 2x2x4 256-byte feature bricks
+    # (SIENERF_FINE=brick) cut descriptor counts ~4x / ~2x.  A/B the four
+    # pipeline combos at the v6 winner, then re-tune (P, evals, heads) under
+    # the cheaper probes (a config's `env` dict is applied + jit caches
+    # cleared before its run).
+    "v10": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "coarse", "SIENERF_FINE": "row"}),  # pre-brick ref
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "coarse", "SIENERF_FINE": "brick"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_CULL_HEADS": "12"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_CULL_HEADS": "24"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_FINE_HEADS": "12"}),
+        # cheaper probes shift the P sweet spot up
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_CULL_HEADS": "24"}),
+        dict(candidates=128, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_CULL_HEADS": "32"}),
+        dict(candidates=96, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_CULL_HEADS": "24"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick"}),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
@@ -230,7 +279,15 @@ def main():
     if ref_npy and Path(ref_npy).exists():
         ref = np.load(ref_npy)
         print(f"# ref loaded from {ref_npy}")
+    import jax
+
     for ci, cfg in enumerate(cfgs):
+        cfg = dict(cfg)
+        env = cfg.pop("env", None)
+        if env:
+            os.environ.update({k: str(v) for k, v in env.items()})
+            jax.clear_caches()  # knobs are read at trace time
+
         def run():
             return render_frame_baked(
                 eng, params, bitfield, grid, cam, focal, width=W, height=H,
@@ -259,6 +316,8 @@ def main():
             mse = float(np.mean((img - ref) ** 2))
             psnr = -10 * np.log10(max(mse, 1e-10))
         tag = " ".join(f"{k}={v}" for k, v in cfg.items())
+        if env:
+            tag += " " + ",".join(f"{k.replace('SIENERF_', '')}={v}" for k, v in env.items())
         print(
             f"{tag:70s} {dt*1e3:7.1f} ms  {W*H/dt/1e6:5.2f} Mr/s  "
             f"rounds={st[0]:4d} rayrounds={st[1]/1e6:5.1f}M evals={st[2]/1e6:6.1f}M "
