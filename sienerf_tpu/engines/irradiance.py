@@ -132,8 +132,12 @@ def irradiance_from_envmap(envmap: jnp.ndarray) -> jnp.ndarray:
     sa = _latlong_solid_angles(W, H)  # (HW,)
     L = envmap.reshape(-1, 4)[:, :3]
     weighted = L * sa[:, None]
-    cos = jnp.maximum(dirs @ dirs.T, 0.0)  # (HW, HW): n.w for every (normal, light) pair
-    E = (cos @ weighted) / math.pi
+    # HIGHEST (ops/exact.py policy): HDR radiance sums; bake-time, not hot
+    hi = jax.lax.Precision.HIGHEST
+    cos = jnp.maximum(  # n.w for every (normal, light) pair: (HW, HW)
+        jnp.einsum("nd,md->nm", dirs, dirs, precision=hi), 0.0
+    )
+    E = jnp.einsum("nm,mc->nc", cos, weighted, precision=hi) / math.pi
     return E.reshape(H, W, 3)
 
 
@@ -180,14 +184,18 @@ def sh_project_envmap(envmap: jnp.ndarray) -> jnp.ndarray:
     sa = _latlong_solid_angles(W, H)
     Y = sh9_basis(dirs)  # (HW, 9)
     L = envmap.reshape(-1, 4)[:, :3]
-    return jnp.einsum("nk,nc,n->kc", Y, L, sa)
+    hi = jax.lax.Precision.HIGHEST  # ops/exact.py policy: HDR radiance
+    return jnp.einsum("nk,nc,n->kc", Y, L, sa, precision=hi)
 
 
 def sh_irradiance(coeffs: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
     """Evaluate irradiance for normals from SH radiance coeffs ([...,9,3])."""
     Y = sh9_basis(normals)  # (...,9)
     A = jnp.asarray([_SH_A[0]] + [_SH_A[1]] * 3 + [_SH_A[2]] * 5)
-    return jnp.maximum(jnp.einsum("...k,k,...kc->...c", Y, A, coeffs) / math.pi, 0.0)
+    hi = jax.lax.Precision.HIGHEST  # ops/exact.py policy
+    return jnp.maximum(
+        jnp.einsum("...k,k,...kc->...c", Y, A, coeffs, precision=hi) / math.pi, 0.0
+    )
 
 
 def bake_probe_grid(
@@ -221,7 +229,10 @@ def bake_probe_grid(
     # vectorized SH projection over all probes at once
     sa = _latlong_solid_angles(env_width, env_height)
     Y = sh9_basis(dirs)  # (HW, 9)
-    coeffs = jnp.einsum("nk,pnc,n->pkc", Y, ems[..., :3], sa).reshape(g, g, g, 9, 3)
+    coeffs = jnp.einsum(
+        "nk,pnc,n->pkc", Y, ems[..., :3], sa,
+        precision=jax.lax.Precision.HIGHEST,  # ops/exact.py policy
+    ).reshape(g, g, g, 9, 3)
     return {
         "coeffs": coeffs,
         "min": jnp.asarray(aabb_min, jnp.float32),

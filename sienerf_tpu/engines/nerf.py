@@ -652,8 +652,15 @@ class NerfEngine:
             from sienerf_tpu.ops.importance import splat_errors
 
             img_idx, u, v = ray_meta
-            new_state["emap"] = splat_errors(state["emap"], img_idx, u, v, per_ray)
-        return new_state, loss, jnp.mean(counts.astype(jnp.float32))
+            new_state["emap"] = splat_errors(
+                state["emap"], img_idx, u, v, per_ray, axis_name
+            )
+        cnt = jnp.mean(counts.astype(jnp.float32))
+        if axis_name is not None:
+            # counts are per-chip measurements; the replicated out-spec
+            # requires a cross-chip reduction (same for loss/grads above)
+            cnt = jax.lax.pmean(cnt, axis_name)
+        return new_state, loss, cnt
 
     def _bundle_body(self, state, data, key, n_rays=None, axis_name=None, k=None, iters=None):
         kg, ks = jax.random.split(key)
@@ -1570,7 +1577,8 @@ def _batched_uv_to_ray(uv, resolution, focal, principal, xform, lens: Lens, dist
         y = y + delta[:, 1]
     dir_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     rot = xform[:, :3, :3]
-    dirs = jnp.einsum("nij,nj->ni", rot, dir_cam)
+    # HIGHEST: ray dirs must be full f32 (ops/exact.py policy)
+    dirs = jnp.einsum("nij,nj->ni", rot, dir_cam, precision=jax.lax.Precision.HIGHEST)
     origins = xform[:, :3, 3]
     return origins, dirs
 
@@ -1595,6 +1603,8 @@ def _apply_se3_delta(xform: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
         axis=1,
     )  # (N,3,3)
     R = xform[:, :3, :3]
-    R_new = R + jnp.einsum("nij,njk->nik", skew, R)
+    R_new = R + jnp.einsum(
+        "nij,njk->nik", skew, R, precision=jax.lax.Precision.HIGHEST
+    )  # HIGHEST: camera rotations feed ray dirs (ops/exact.py policy)
     t_new = xform[:, :3, 3] + v
     return jnp.concatenate([R_new, t_new[:, :, None]], axis=-1)

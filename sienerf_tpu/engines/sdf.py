@@ -363,6 +363,7 @@ class SdfEngine:
             if len(parts) > 1:
                 zdepth = jnp.asarray(float(parts[1]), jnp.float32)
             else:
+                # bf16-ok: default slice-plane depth; any value is a valid default
                 zdepth = jnp.dot(fwd, jnp.asarray(self.aabb.center) - cam_pos)
             tp = zdepth / jnp.maximum(jnp.sum(d * fwd, axis=-1), 1e-6)
             pos = o + tp[:, None] * d

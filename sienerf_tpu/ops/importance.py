@@ -29,8 +29,13 @@ def init_error_map(n_images: int, res: int = 32) -> dict:
     }
 
 
-def splat_errors(emap: dict, img_idx, u, v, losses) -> dict:
-    """Accumulate per-ray losses at their (image, uv) locations."""
+def splat_errors(emap: dict, img_idx, u, v, losses, axis_name=None) -> dict:
+    """Accumulate per-ray losses at their (image, uv) locations.
+
+    Under ray sharding (`axis_name`), every chip splats ITS rays and the
+    additive deltas are psum'd BEFORE the decayed accumulation, so the
+    error map stays bit-identical across chips (a per-chip splat under a
+    replicated out-spec would silently diverge — round-3 multichip fix)."""
     n_img, eh, ew = emap["error"].shape
     ex = jnp.minimum((u * ew).astype(jnp.int32), ew - 1)
     ey = jnp.minimum((v * eh).astype(jnp.int32), eh - 1)
@@ -43,6 +48,8 @@ def splat_errors(emap: dict, img_idx, u, v, losses) -> dict:
         num_segments=n_img * eh * ew,
         indices_are_sorted=True,
     )
+    if axis_name is not None:
+        add = jax.lax.psum(add, axis_name)
     err = emap["error"].reshape(-1) * emap["decay"] + add
     return {**emap, "error": err.reshape(n_img, eh, ew)}
 

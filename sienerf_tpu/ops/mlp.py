@@ -98,6 +98,8 @@ def mlp_apply(
     h = x.astype(compute_dtype)
     n = len(params)
     for i, w in enumerate(params):
+        # bf16-ok: deliberate bf16 MXU matmul with f32 accumulation — the
+        # network's training precision (reference trains in __half)
         h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32)
         if i < n - 1:
             h = act(h).astype(compute_dtype)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -166,13 +167,19 @@ def uv_to_ray(
 
     rot = camera_matrix[..., :3, :3]
     origin = jnp.broadcast_to(camera_matrix[..., :3, 3], dir_cam.shape)
-    direction = jnp.einsum("...ij,...j->...i", rot, dir_cam)
+    # ray directions must be full f32: TPU default matmul precision is bf16
+    # (ops/exact.py policy) and a ~4e-3 direction error moves samples a
+    # whole fine voxel; the contraction is size-3, HIGHEST costs nothing
+    hi = jax.lax.Precision.HIGHEST
+    direction = jnp.einsum("...ij,...j->...i", rot, dir_cam, precision=hi)
 
     if aperture_size > 0.0 and aperture_uv is not None:
         # depth-of-field: jitter origin on the aperture disk, refocus at focus_z
         lookat = origin + direction * focus_z
         blur = aperture_size * aperture_uv  # [...,2] points on unit disk
-        origin = origin + jnp.einsum("...ij,...j->...i", camera_matrix[..., :3, :2], blur)
+        origin = origin + jnp.einsum(
+            "...ij,...j->...i", camera_matrix[..., :3, :2], blur, precision=hi
+        )
         direction = (lookat - origin) / focus_z
 
     origin = origin + direction * near_distance
