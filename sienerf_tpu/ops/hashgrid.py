@@ -332,20 +332,51 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
     N = pos.shape[0]
     T = config.table_size
 
+    import os
+
     gl = g.reshape(N, L, F)
     if config.layout == "cell":
         idx, w, per_dim, offs, scales = _geometry_cell(config, pos)
         Fp = _pad_features(C, F)
         glp = jnp.pad(gl, ((0, 0), (0, 0), (0, Fp - F)))  # (N,L,Fp)
         tp = _pad_cell_table(config, table)
-        d_levels = []
-        cf_levels = []
-        for l in range(L):
-            contrib = (w[:, l, :, None] * glp[:, l, None, :]).reshape(N, C * Fp)
-            d_l = _sorted_segment_accumulate(contrib, idx[:, l], T)
-            d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
-            cf_levels.append(jnp.take(tp[l], idx[:, l], axis=0).reshape(N, C, Fp)[..., :F])
-        d_table = jnp.stack(d_levels, axis=0)
+        if os.environ.get("SIENERF_HASH_BWD", "batched") == "batched":
+            # ONE batched sort + ONE flat segment_sum instead of L
+            # sequential (argsort, scatter) pairs: lax.sort treats the
+            # level axis as a batch dim, so all 16 level sorts run in one
+            # vectorized pass (the 16 serial 256k-element sorts were the
+            # dominant slice of the 157ms train backward, VERDICT r2 #5).
+            # Transpose the *inputs* (w: (N,L,C), glp: (N,L,Fp)) before the
+            # outer product — transposing the (N,L,C*Fp) product would move
+            # 4x the bytes.
+            idxT = idx.T  # (L,N)
+            order = jnp.argsort(idxT, axis=1)  # batched sort
+            sidx = jnp.take_along_axis(idxT, order, axis=1)  # (L,N)
+            wT = jnp.moveaxis(w, 1, 0)  # (L,N,C)
+            gT = jnp.moveaxis(glp, 1, 0)  # (L,N,Fp)
+            contribT = (wT[..., None] * gT[:, :, None, :]).reshape(L, N, C * Fp)
+            svals = jnp.take_along_axis(contribT, order[:, :, None], axis=1)
+            lvl_off = (np.arange(L, dtype=np.int64) * T).astype(np.int32)
+            flat = (sidx + lvl_off[:, None]).reshape(-1)  # globally sorted
+            d_flat = jax.ops.segment_sum(
+                svals.reshape(L * N, C * Fp), flat,
+                num_segments=L * T, indices_are_sorted=True,
+            )
+            d_table = d_flat.reshape(L, T, C, Fp)[..., :F]
+        else:
+            d_levels = []
+            for l in range(L):
+                contrib = (w[:, l, :, None] * glp[:, l, None, :]).reshape(N, C * Fp)
+                d_l = _sorted_segment_accumulate(contrib, idx[:, l], T)
+                d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
+            d_table = jnp.stack(d_levels, axis=0)
+        # corner features for the position gradient: when pos is not
+        # differentiated (no camera/distortion optimization) XLA dead-code
+        # eliminates this gather and the whole d_pos chain below
+        cf_levels = [
+            jnp.take(tp[l], idx[:, l], axis=0).reshape(N, C, Fp)[..., :F]
+            for l in range(L)
+        ]
         cf = jnp.stack(cf_levels, axis=1)  # (N,L,C,F)
     else:
         flat_idx, w, per_dim, offs, scales = _geometry(config, pos)

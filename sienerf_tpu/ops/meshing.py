@@ -126,14 +126,22 @@ def extract_mesh(
     aabb_diag,
     iso: float = 2.5,
     color_fn=None,
+    method: str = "mc",
 ):
     """Density/SDF -> mesh (+ optional vertex colors sampled from color_fn).
 
     Reference default NeRF MC density threshold is 2.5
-    (testbed.h m_mesh.thresh); for SDFs pass iso=0.
+    (testbed.h m_mesh.thresh); for SDFs pass iso=0.  method="mc" is the
+    tabulated marching-cubes extractor (reference marching_cubes.cu
+    parity); method="surface_nets" keeps the dual extractor.
     """
     grid = density_on_grid(density_fn, resolution, aabb_min, aabb_diag)
-    verts, faces = surface_nets(grid, iso, aabb_min, aabb_diag)
+    if method == "mc":
+        from sienerf_tpu.ops.marching_cubes import marching_cubes
+
+        verts, faces = marching_cubes(grid, iso, aabb_min, aabb_diag)
+    else:
+        verts, faces = surface_nets(grid, iso, aabb_min, aabb_diag)
     colors = None
     if color_fn is not None and len(verts):
         import jax.numpy as jnp

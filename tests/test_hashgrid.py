@@ -228,3 +228,25 @@ def test_bf16train_engine_step(monkeypatch):
     state = eng.init(0)
     state, loss, _ = eng.train_bundle(state, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_hash_bwd_batched_matches_perlevel(monkeypatch):
+    """SIENERF_HASH_BWD=batched (one batched sort + one flat segment_sum)
+    is bit-exact vs the per-level sorted-scatter backward (VERDICT r2 #5:
+    the 16 serial sorts were the dominant train-backward cost)."""
+    import jax
+
+    cfg = HashGridConfig(n_levels=6, log2_hashmap_size=12, n_dims=3)
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg) * 1e4
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (733, 3))
+
+    def loss(t, p):
+        out = hashgrid_encode(cfg, t, p)
+        return jnp.sum(jnp.sin(out) * jnp.arange(cfg.n_output_dims))
+
+    monkeypatch.setenv("SIENERF_HASH_BWD", "batched")
+    g_b = jax.grad(loss, argnums=(0, 1))(table, pos)
+    monkeypatch.setenv("SIENERF_HASH_BWD", "perlevel")
+    g_p = jax.grad(loss, argnums=(0, 1))(table, pos)
+    assert float(jnp.max(jnp.abs(g_b[0] - g_p[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(g_b[1] - g_p[1]))) == 0.0
