@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--near_reg", type=float, default=0.0,
                     help="near-region density regularizer (anti-floater, fox)")
+    ap.add_argument("--checkpoint_every", type=int, default=0,
+                    help="save --save_snapshot every N steps during training "
+                    "(long protocol runs survive box resets)")
+    ap.add_argument("--max_train_s", type=float, default=0.0,
+                    help="stop training at this wall budget and evaluate "
+                    "whatever step was reached (bounds the 35k protocol run)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness smoke; the axon "
                     "site hook ignores JAX_PLATFORMS so set the config)")
@@ -94,14 +100,30 @@ def main():
 
     sess = Session()
     t0 = time.time()
+
+    def train_to(target_steps):
+        """Train toward target_steps in checkpointed, wall-bounded chunks."""
+        chunk = args.checkpoint_every or target_steps
+        while sess.training_step < target_steps:
+            if args.max_train_s and time.time() - t0 > args.max_train_s:
+                print(f"# wall budget {args.max_train_s:.0f}s reached at step "
+                      f"{sess.training_step} — evaluating here", file=sys.stderr)
+                break
+            n = min(chunk, target_steps - sess.training_step)
+            sess.train(n)
+            if args.checkpoint_every and args.save_snapshot:
+                sess.save_snapshot(args.save_snapshot)
+                print(f"# checkpoint @ step {sess.training_step} "
+                      f"({time.time() - t0:.0f}s)", file=sys.stderr)
+
     if args.snapshot:
         sess.load_snapshot(args.snapshot)
         if not args.eval_only:
-            sess.train(args.n_steps)
+            train_to(args.n_steps)
     else:
         ekw = {"near_density_reg": args.near_reg} if args.near_reg else {}
         sess.load_file(train_json, downscale=args.downscale, **ekw)
-        sess.train(args.n_steps)
+        train_to(args.n_steps)
     train_s = time.time() - t0
     if args.save_snapshot:
         sess.save_snapshot(args.save_snapshot)
