@@ -27,6 +27,10 @@ def main():
     import pickle
     from pathlib import Path
 
+    from sienerf_tpu.utils import log as tlog
+
+    tlog.set_stream(sys.stderr)  # stdout is the one-JSON-line contract
+
     import jax.numpy as jnp
 
     from sienerf_tpu.engines.nerf import NerfEngine
@@ -73,15 +77,25 @@ def main():
 
         payload = load_snapshot(snap)
         rs = payload["state"]
+        raw = dict(rs["params"])
+        if payload["meta"].get("kind") == "render_only_fp8":
+            from tools.export_render_snapshot import dequantize_grid_fp8
+
+            raw["grid"] = dequantize_grid_fp8(
+                raw.pop("grid_fp8"), raw.pop("grid_fp8_scale"),
+                payload["meta"]["grid_shape"],
+            )
         params = jax.tree.map(
             lambda x: jnp.asarray(
                 x, jnp.float32 if np.asarray(x).dtype == np.float16 else None
             ),
-            rs["params"],
+            raw,
         )
         bf = jnp.asarray(rs["occ"]["bitfield"])
         state = {"occ": {"bitfield": bf}}
         eng._phase = payload["meta"].get("phase", "fast")
+        if payload["meta"].get("mean_samples"):
+            eng._mean_samples = float(payload["meta"]["mean_samples"])
         n_steps = int(np.asarray(rs["step"]))
         print(f"# loaded committed render snapshot at step {n_steps}", file=sys.stderr)
     if params is None:

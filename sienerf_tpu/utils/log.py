@@ -7,6 +7,7 @@ import time
 
 _T0 = time.time()
 _VERBOSE = True
+_STREAM = None  # None = sys.stdout at emit time
 
 
 def set_verbose(v: bool) -> None:
@@ -14,10 +15,17 @@ def set_verbose(v: bool) -> None:
     _VERBOSE = v
 
 
+def set_stream(stream) -> None:
+    """Route info/success to `stream` (e.g. sys.stderr for tools whose
+    stdout is a machine-parsed contract, like bench.py's one JSON line)."""
+    global _STREAM
+    _STREAM = stream
+
+
 def _emit(tag: str, msg: str, stream=None) -> None:
     if not _VERBOSE:
         return
-    stream = stream or sys.stdout
+    stream = stream or _STREAM or sys.stdout
     print(f"[{time.time() - _T0:8.2f}s] {tag:<7s} {msg}", file=stream, flush=True)
 
 

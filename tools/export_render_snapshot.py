@@ -1,20 +1,20 @@
 """Export a compact RENDER-ONLY snapshot from a training cache.
 
 Strips the Adam/EMA optimizer moments, resolves the EMA'd inference
-parameters (ops/optim.inference_params), casts float leaves to fp16, and
-writes a zlib'd msgpack snapshot (io/snapshot.py container) — ~4x smaller
-than the full training state (the cell-packed hash table dominates: 537 MB
-fp32 -> ~270 MB fp16 for the fox base config, so the artifact stays a
-LOCAL convenience, not a committed asset).
+parameters (ops/optim.inference_params), and quantizes the hash table:
+fp16 halves it (~270 MB — local convenience only), fp8 (default) stores
+per-level-absmax-scaled e4m3 bytes (~134 MB) — small enough to COMMIT as
+data/fox_render.snap so a fresh box benches the converged field without
+retraining it (VERDICT r2 #3).  bench.py dequantizes to fp32 at load;
+the baked-vs-live quality gate then measures any quantization cost
+instead of assuming it.
 
-Why this exists: bench.py loads data/fox_render.snap when the .cache
-training state is gone, skipping the fallback train entirely on boxes
-where the snapshot was produced earlier in the session.  The reference's
-own headline figure ("tens of ms at 1080p", docs/index.html:327) is
-measured on converged scenes, so benching the converged field is the
-apples-to-apples protocol.
+Why this exists: the reference's own headline figure ("tens of ms at
+1080p", docs/index.html:327) is measured on converged scenes, so benching
+the converged field is the apples-to-apples protocol — and the field must
+survive box wipes to keep rounds comparable.
 
-Usage: python tools/export_render_snapshot.py .cache/fox_16k.pkl data/fox_render.snap
+Usage: python tools/export_render_snapshot.py .cache/fox_16k.pkl data/fox_render.snap [fp8|fp16]
 """
 
 import pickle
@@ -32,8 +32,31 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def quantize_grid_fp8(grid: np.ndarray):
+    """(L,T,C,F) fp32 -> (e4m3 bytes (L,T*C*F) uint8, per-level scales).
+
+    Mirrors ops/hashgrid.pack_table_fp8's per-level absmax scaling but
+    stores raw bytes (host-side; numpy has no fp8 dtype — ml_dtypes,
+    shipped with jax, does the rounding)."""
+    import ml_dtypes
+
+    L = grid.shape[0]
+    flat = grid.reshape(L, -1)
+    scale = np.maximum(np.abs(flat).max(axis=1), 1e-8) / 448.0  # e4m3 max
+    q = (flat / scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
+    return q.view(np.uint8), scale.astype(np.float32)
+
+
+def dequantize_grid_fp8(q: np.ndarray, scale: np.ndarray, shape):
+    import ml_dtypes
+
+    flat = np.asarray(q).view(ml_dtypes.float8_e4m3fn).astype(np.float32)
+    return (flat * np.asarray(scale)[:, None]).reshape(shape)
+
+
 def main():
     cache_in, snap_out = sys.argv[1], sys.argv[2]
+    quant = sys.argv[3] if len(sys.argv) > 3 else "fp8"
     with open(cache_in, "rb") as fh:
         blob = pickle.load(fh)
     state = blob["state"]
@@ -41,31 +64,39 @@ def main():
     from sienerf_tpu.io.snapshot import save_snapshot
     from sienerf_tpu.ops.optim import inference_params
 
-    params = inference_params(state["opt"], state["params"])
+    params = jax.tree.map(np.asarray, inference_params(state["opt"], state["params"]))
 
     def shrink(x):
         x = np.asarray(x)
         return x.astype(np.float16) if x.dtype == np.float32 else x
 
+    meta = {
+        "kind": "render_only",
+        "phase": blob.get("phase", "fast"),
+        "mean_samples": blob.get("mean_samples") or 0.0,
+    }
+    if quant == "fp8":
+        grid = params.pop("grid")
+        q, scale = quantize_grid_fp8(grid)
+        params = jax.tree.map(shrink, params)
+        params["grid_fp8"] = q
+        params["grid_fp8_scale"] = scale
+        meta["grid_shape"] = list(grid.shape)
+        meta["kind"] = "render_only_fp8"
+    else:
+        params = jax.tree.map(shrink, params)
+
     render_state = {
-        "params": jax.tree.map(shrink, jax.tree.map(np.asarray, params)),
+        "params": params,
         "occ": {
             "bitfield": np.asarray(state["occ"]["bitfield"]),
             "mean_density": np.asarray(state["occ"]["mean_density"]),
         },
         "step": np.asarray(state["step"]),
     }
-    save_snapshot(
-        snap_out,
-        render_state,
-        meta={
-            "kind": "render_only",
-            "phase": blob.get("phase", "fast"),
-            "mean_samples": blob.get("mean_samples") or 0.0,
-        },
-    )
+    save_snapshot(snap_out, render_state, meta=meta)
     sz = Path(snap_out).stat().st_size
-    print(f"{snap_out}: {sz / 1e6:.1f} MB (step {int(state['step'])})")
+    print(f"{snap_out}: {sz / 1e6:.1f} MB (step {int(state['step'])}, {quant})")
 
 
 if __name__ == "__main__":
