@@ -1064,6 +1064,13 @@ class NerfEngine:
         from sienerf_tpu.ops.occupancy import occupied_bbox
 
         bounds = occupied_bbox(bitfield)
+        # hoist the occupancy bit-pack out of the per-round march (the march
+        # primitives accept packed rows — ops/raymarch._as_packed)
+        from sienerf_tpu.ops.occupancy import pack_occupancy
+
+        bitfield = pack_occupancy(bitfield)
+        # fine_bitfield stays UNPACKED: the march reads its grid size from
+        # its shape (ops/raymarch._march_rays_scalar g_fine)
 
         # Build EVERY pixel's ray once (camera math + lens undistortion +
         # slab tests), pre-advance to the first occupied voxel in one big
@@ -1076,18 +1083,7 @@ class NerfEngine:
                 self.march, bitfield, o_a, d_a, t0_a, t1_a, self.init_advance_iters
             )
 
-        # pad row n = a benign dead ray (unit dir, t0 == t1 == 0): zero dirs
-        # would produce inf skips -> NaN positions in masked lanes
-        def pad1(x, row):
-            return jnp.concatenate([x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])])
-
-        rays_pre = (
-            pad1(o_a, [0.0, 0.0, 0.0]),
-            pad1(d_a, [0.0, 0.0, 1.0]),
-            pad1(dn_a, 1.0),
-            pad1(t0_a, 0.0),
-            pad1(t1_a, 0.0),
-        )
+        rays_pre = self._frame_pack_rays(o_a, d_a, dn_a, t0_a, t1_a)
 
         ids0 = jnp.arange(A, dtype=jnp.int32)
         o0, d0, dn0, t00, t10 = self._frame_take_rays(ids0, n, rays_pre)
@@ -1260,13 +1256,17 @@ class NerfEngine:
         )
         return jnp.asarray(fine)
 
-    def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "nearest"):
+    def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "nearest",
+                      row_bits: int = 8):
         """Bake the density branch into a render-side feature grid
         (engines/nerf_baked.py).  Returns (grid pytree, static meta) for
-        render_frame_baked — the fast path for interactive orbits."""
+        render_frame_baked — the fast path for interactive orbits.
+        row_bits=16 halves the quantization error for 2x table bytes at the
+        same descriptor-limited gather rate (32-byte rows)."""
         from sienerf_tpu.engines.nerf_baked import bake_feature_grid
 
-        return bake_feature_grid(self, params, occ_state["bitfield"], resolution, mode)
+        return bake_feature_grid(self, params, occ_state["bitfield"], resolution, mode,
+                                 row_bits=row_bits)
 
     def _render_budget(self) -> int:
         """Per-ray render sample budget = the training march budget (see
@@ -1283,12 +1283,32 @@ class NerfEngine:
             & (s["used"] < self._render_budget())
         )
 
+    @staticmethod
+    def _frame_pack_rays(o, d, dn, t0, t1):
+        """Pack per-pixel ray data into ONE (n+1, 16) f32 table so each slot
+        refill is a single row gather (TPU gathers are descriptor-limited:
+        five separate takes cost 5x one fused take — NOTES_ROUND2 gather
+        facts).  Row n is a benign dead pad ray (unit dir, t0 == t1 == 0:
+        zero dirs would produce inf skips -> NaN positions in masked lanes);
+        cols 9:16 pad the row to 64 B (cols=32/128 B is the one measured
+        pathological gather shape — avoid non-power-of-2 too)."""
+        n = o.shape[0]
+        packed = jnp.zeros((n + 1, 16), jnp.float32)
+        packed = packed.at[:n, 0:3].set(o)
+        packed = packed.at[:n, 3:6].set(d)
+        packed = packed.at[:n, 6].set(dn)
+        packed = packed.at[:n, 7].set(t0)
+        packed = packed.at[:n, 8].set(t1)
+        packed = packed.at[n, 5].set(1.0)  # pad ray dir = (0, 0, 1)
+        packed = packed.at[n, 6].set(1.0)  # pad |d| = 1
+        return packed
+
     def _frame_take_rays(self, ids, n, rays_pre):
-        """Gather precomputed per-pixel rays (invalid ids hit the zero pad
-        row at n)."""
+        """Gather precomputed per-pixel rays (invalid ids hit the benign pad
+        row at n) — ONE row gather from the packed table."""
         ids_c = jnp.minimum(ids, n)
-        o, d, dn, t0, t1 = (jnp.take(x, ids_c, axis=0) for x in rays_pre)
-        return o, d, dn, t0, t1
+        r = jnp.take(rays_pre, ids_c, axis=0)
+        return r[:, 0:3], r[:, 3:6], r[:, 6], r[:, 7], r[:, 8]
 
     def _frame_round(self, s, params, bitfield, n, rays_pre, fine_bitfield=None,
                      render_mode=None, extra_row=None):

@@ -89,6 +89,7 @@ def bake_feature_grid(
     mode: str = "nearest",
     chunk: int = 1 << 19,
     subset: int = 1 << 18,
+    row_bits: int = 8,
 ):
     """Bake the density branch onto one (R+1)^3 vertex lattice PER occupancy
     cascade (cascade m = cube of side 2^m centered at 0.5, the occupancy
@@ -140,7 +141,7 @@ def bake_feature_grid(
         for k in range(n_casc):
             feats, occ, _ = vertex_feats(ids, k, p)
             mx = jnp.max(jnp.where(occ[:, None], jnp.abs(feats), 0.0), axis=0)
-            scales.append(jnp.maximum(mx, 1e-6) / 127.0)
+            scales.append(jnp.maximum(mx, 1e-6) / (127.0 if row_bits == 8 else 32767.0))
         return jnp.stack(scales)  # (K, F)
 
     scale = compute_scale(params)
@@ -155,21 +156,25 @@ def bake_feature_grid(
         for k in range(n_casc):
             def one(ids, k=k):
                 feats, occ, live = vertex_feats(ids, k, p)
-                return quantize_rows(feats, scale[k], occ), live
+                return quantize_rows(feats, scale[k], occ, row_bits), live
 
             rows, live = jax.lax.map(one, ids_all)
             per_casc.append(rows.reshape(n_chunks * chunk, -1)[:n_vertices])
             bits_casc.append(live.reshape(-1)[:n_vertices])
         live_all = jnp.concatenate(bits_casc)
+        from sienerf_tpu.ops.baked import scout_live_bits
+
         return (
             jnp.concatenate(per_casc, axis=0),
             pack_bits(live_all),
             coarse_live_bits(live_all, R, n_casc),
             coarse_live_bits_brick(live_all, R, n_casc),
+            scout_live_bits(live_all, R, n_casc),
         )
 
-    vrows, bits, bits2, bits2b = bake_vertices(params, scale)
-    grid = {"scale": scale, "bits": bits, "bits2": bits2, "bits2b": bits2b}
+    vrows, bits, bits2, bits2b, bits3 = bake_vertices(params, scale)
+    grid = {"scale": scale, "bits": bits, "bits2": bits2, "bits2b": bits2b,
+            "bits3": bits3}
     if mode == "trilinear":
         grid["rows"] = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(
             vrows, R, n_casc
@@ -260,7 +265,8 @@ def _baked_alive(engine, s, max_rounds: int):
     )
 
 
-def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None):
+def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None,
+                        adv=None):
     """Resolve the gather-strategy knobs ONCE, in Python, BEFORE tracing.
 
     Round-2 lesson (VERDICT r2 weak #1): these used to be os.environ reads
@@ -281,7 +287,10 @@ def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None):
         cull_heads = int(os.environ.get("SIENERF_CULL_HEADS", "16"))
     if fine_heads is None:
         fine_heads = int(os.environ.get("SIENERF_FINE_HEADS", "0"))
-    return cull, fine, cull_heads, fine_heads
+    # adv: 'dda' (serial per-round advance_to_occupied) or 'scout'
+    # (vectorized quarter-res probe walk, _scout_advance)
+    adv = adv or os.environ.get("SIENERF_ADV", "dda")
+    return cull, fine, cull_heads, fine_heads, adv
 
 
 def _cull_keep(grid, meta, pos, valid, cull: str, cull_heads: int):
@@ -312,6 +321,41 @@ def _cull_keep(grid, meta, pos, valid, cull: str, cull_heads: int):
     return keep, flat
 
 
+def _scout_advance(grid, meta, o, d, t, t1, n_scout: int):
+    """Vectorized empty-space advance: probe `n_scout` points at fixed
+    conservative spacing h = 4/R against the quarter-res DILATED scout
+    sidecar (ops/baked.scout_live_bits) and jump to one h before the first
+    live probe (or past the verified-dead walk when none is).
+
+    Replaces the serial 16-iteration DDA (advance_to_occupied) in the
+    per-round body: the DDA's skip distances are data-dependent so its 16
+    probe+update steps SERIALIZE (~0.4 ms of latency each on the tunnel);
+    the scout walk is one batched (A, S) probe.  Safety: h is one mip-0
+    quarter-cell pitch — conservative for every cascade — and the sidecar's
+    7^3 dilation covers nearest-vertex reads plus corner-cut margin, so no
+    candidate the cull would keep is ever skipped."""
+    R, K = meta["resolution"], meta["n_cascades"]
+    R4 = R // 4
+    h = 4.0 / R  # one mip-0 quarter-cell pitch: conservative for every
+    # cascade (whose pitch is 4*2^m/R >= 4/R), short-reach in outer ones
+    j = jnp.arange(n_scout, dtype=jnp.float32)
+    ts = t[:, None] + j[None, :] * h  # (A, S)
+    pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+    m = mip_from_pos(pos, K)
+    u = (pos - 0.5) / cascade_extent(m)[..., None] + 0.5
+    oob = jnp.any((u < 0.0) | (u >= 1.0), axis=-1)
+    c3 = jnp.clip(jnp.floor(u * R4).astype(jnp.int32), 0, R4 - 1)
+    flat = m * (R4 * R4 * R4) + (c3[..., 0] * R4 + c3[..., 1]) * R4 + c3[..., 2]
+    live = lookup_bits_auto(grid["bits3"], flat) & ~oob & (ts < t1[:, None])
+    t_first = jnp.min(jnp.where(live, ts, jnp.inf), axis=1)
+    t_new = jnp.where(
+        jnp.isfinite(t_first),
+        jnp.maximum(t, t_first - h),
+        t + (n_scout - 1) * h,  # whole walk verified dead
+    )
+    return jnp.minimum(t_new, t1)
+
+
 def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
                      alive, P: int, evals: int, step_scale: float, adv_iters: int,
                      knobs=("coarse", "row", 16, 0)):
@@ -329,9 +373,13 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
 
     Returns (rgb_add (A,3), opacity_add (A,), T_out (A,), t_next (A,),
     best_w, best_t, n_kept (A,), overflow (A,))."""
-    cull, fine, cull_heads, fine_heads = knobs
+    cull, fine, cull_heads, fine_heads = knobs[:4]
+    adv_mode = knobs[4] if len(knobs) > 4 else "dda"
     if adv_iters > 0:
-        t = advance_to_occupied(engine.march, bitfield, o, d, t, t1, adv_iters)
+        if adv_mode == "scout" and "bits3" in grid:
+            t = _scout_advance(grid, meta, o, d, t, t1, 2 * adv_iters)
+        else:
+            t = advance_to_occupied(engine.march, bitfield, o, d, t, t1, adv_iters)
     ts, dts, t_end = _candidate_chain(t, engine.march.cone_angle, P, step_scale)
     valid = alive[:, None] & (ts < t1[:, None])
     pos = o[:, None, :] + ts[..., None] * d[:, None, :]
@@ -428,6 +476,9 @@ def render_rays_baked(
     t0, t1 = engine._aabb_times(o, d, near)
     blo, bhi = occupied_bbox(bitfield)
     btmin, btmax = ray_box_times(o, d, blo, bhi)
+    from sienerf_tpu.ops.occupancy import pack_occupancy
+
+    bitfield = pack_occupancy(bitfield)  # hoisted out of the round loop
     t0 = jnp.maximum(t0, btmin)
     t1 = jnp.minimum(t1, btmax)
     if t_cap is not None:
@@ -578,6 +629,12 @@ def _render_frame_baked_impl(
     cam_spec = (width, height, focal_length, camera_matrix, screen_center, pixel_offset)
 
     bounds = occupied_bbox(bitfield)
+    # hoist the occupancy bit-pack out of every round/advance (an O(grid)
+    # elementwise pass otherwise re-run ~30x per frame); the march
+    # primitives accept the packed rows directly (ops/raymarch._as_packed)
+    from sienerf_tpu.ops.occupancy import pack_occupancy
+
+    bitfield = pack_occupancy(bitfield)
     ids_all = jnp.arange(n, dtype=jnp.int32)
     o_a, d_a, dn_a, t0_a, t1_a = engine._frame_make_rays(ids_all, n, cam_spec, bounds)
     # 160 serial DDA iterations x2 ends over every pixel is a fixed frame
@@ -595,16 +652,7 @@ def _render_frame_baked_impl(
             engine.march, bitfield, o_a, d_a, t0_a, t1_a, ia
         )
 
-    def pad1(x, row):
-        return jnp.concatenate([x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])])
-
-    rays_pre = (
-        pad1(o_a, [0.0, 0.0, 0.0]),
-        pad1(d_a, [0.0, 0.0, 1.0]),
-        pad1(dn_a, 1.0),
-        pad1(t0_a, 0.0),
-        pad1(t1_a, 0.0),
-    )
+    rays_pre = engine._frame_pack_rays(o_a, d_a, dn_a, t0_a, t1_a)
 
     ids0 = jnp.arange(A, dtype=jnp.int32)
     o0, d0, dn0, t00, t10 = engine._frame_take_rays(ids0, n, rays_pre)

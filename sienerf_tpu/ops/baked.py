@@ -58,24 +58,46 @@ def cascade_extent(mip) -> jnp.ndarray:
     return jnp.exp2(jnp.asarray(mip, jnp.float32))
 
 
-def quantize_rows(feats: jnp.ndarray, scale: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
-    """(N, F) f32 + (F,) scale + (N,) keep-mask -> (N, F/4) int32 rows.
+def quantize_rows(feats: jnp.ndarray, scale: jnp.ndarray, keep: jnp.ndarray,
+                  bits: int = 8) -> jnp.ndarray:
+    """(N, F) f32 + (F,) scale + (N,) keep-mask -> int32 rows:
+    (N, F/4) at bits=8 (16-byte rows, the fast path) or (N, F/2) at bits=16
+    (32-byte rows — same gather rate, half the quantization error of int8
+    when the converged field's sharpness makes it visible).
 
-    Values clip to [-127, 127]; -128 is the sentinel byte (whole row) for
-    ~keep vertices.
-    """
-    q = jnp.clip(jnp.round(feats / scale), -127, 127).astype(jnp.int8)
-    q = jnp.where(keep[:, None], q, jnp.int8(-128))
+    Values clip to +/-(2^(bits-1) - 1); the most negative code is the
+    sentinel (whole row) for ~keep vertices."""
+    if bits == 8:
+        q = jnp.clip(jnp.round(feats / scale), -127, 127).astype(jnp.int8)
+        q = jnp.where(keep[:, None], q, jnp.int8(-128))
+        n, f = q.shape
+        return jax.lax.bitcast_convert_type(q.reshape(n, f // 4, 4), jnp.int32)
+    q = jnp.clip(jnp.round(feats / scale), -32767, 32767).astype(jnp.int16)
+    q = jnp.where(keep[:, None], q, jnp.int16(-32768))
     n, f = q.shape
-    return jax.lax.bitcast_convert_type(q.reshape(n, f // 4, 4), jnp.int32)
+    return jax.lax.bitcast_convert_type(q.reshape(n, f // 2, 2), jnp.int32)
 
 
-def _decode_rows(rows_i32: jnp.ndarray, scale: jnp.ndarray):
-    """(..., F/4) int32 + broadcastable scale -> ((..., F) f32, sentinel)."""
-    i8 = jax.lax.bitcast_convert_type(rows_i32, jnp.int8)
-    i8 = i8.reshape(*rows_i32.shape[:-1], rows_i32.shape[-1] * 4)
-    sent = i8[..., 0] == -128
-    return i8.astype(jnp.float32) * scale, sent
+def row_bits(sub_rows_i32: jnp.ndarray, n_features: int = N_BAKED_FEATURES) -> int:
+    """Infer the quantization width from a decode-ready sub-row's (static)
+    column count: F/4 int32 cols = int8, F/2 = int16.  Call on the PER-
+    VERTEX row view (after splitting cell/brick rows into their 1-vertex
+    sub-rows), never on a packed multi-vertex table."""
+    return 8 if sub_rows_i32.shape[-1] * 4 == n_features else 16
+
+
+def _decode_rows(rows_i32: jnp.ndarray, scale: jnp.ndarray, bits: int = 8):
+    """(..., F/4 or F/2) int32 + broadcastable scale -> ((..., F) f32,
+    sentinel)."""
+    if bits == 8:
+        i8 = jax.lax.bitcast_convert_type(rows_i32, jnp.int8)
+        i8 = i8.reshape(*rows_i32.shape[:-1], rows_i32.shape[-1] * 4)
+        sent = i8[..., 0] == -128
+        return i8.astype(jnp.float32) * scale, sent
+    i16 = jax.lax.bitcast_convert_type(rows_i32, jnp.int16)
+    i16 = i16.reshape(*rows_i32.shape[:-1], rows_i32.shape[-1] * 2)
+    sent = i16[..., 0] == -32768
+    return i16.astype(jnp.float32) * scale, sent
 
 
 def _apply_sentinel(feats: jnp.ndarray, sent: jnp.ndarray) -> jnp.ndarray:
@@ -164,6 +186,33 @@ def coarse_live_bits_brick(live_flat: jnp.ndarray, resolution: int, n_cascades: 
         _coarse_live_pool(live_flat, resolution, n_cascades),
         (n_cascades, R2v, R2v, R2v),
     )
+
+
+def scout_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -> jnp.ndarray:
+    """Quarter-resolution DILATED scout sidecar for the vectorized empty-space
+    advance: (K*(R+1)^3,) live bools -> packed rows over (K, R/4+1)^3.
+
+    Cell-based cover over (K, R/4, R/4, R/4): quarter-cell c (fine span
+    [4c, 4c+4)) is marked live iff any position INSIDE it or its 26
+    neighbors could read a live fine vertex.  Derivation of the window: a
+    sample at p in cell c reads vertex round(p*R) in [4c, 4c+4]; the scout
+    walk probes at spacing h <= one cell pitch, so the probe preceding a
+    live p sits in c or an adjacent cell (including diagonal corner cuts)
+    — 1 cell of dilation covers that, giving fine-vertex window
+    [4c-4, 4c+8], a 13^3-OR / stride-4 pool.  Conservative by construction:
+    the walk can never jump past a sample the candidate cull would keep."""
+    R = resolution
+    assert R % 4 == 0
+    Rv = R + 1
+    lv = live_flat.reshape(n_cascades, Rv, Rv, Rv).astype(jnp.int8)
+    pooled = jax.lax.reduce_window(
+        lv, jnp.int8(0), jax.lax.max,
+        window_dimensions=(1, 13, 13, 13), window_strides=(1, 4, 4, 4),
+        padding=((0, 0), (4, 4), (4, 4), (4, 4)),
+    )  # (K, R/4, R/4, R/4): cell c covers fine vertices [4c-4, 4c+8]
+    from sienerf_tpu.ops.bits import pack_bits
+
+    return pack_bits(pooled.reshape(-1) > 0)
 
 
 def cull_candidates(
@@ -296,15 +345,16 @@ def baked_features(
     if mode == "nearest":
         flat, oob, _ = nearest_vertex_ids(R, K, pos)
         r = jnp.take(rows, flat, axis=0)
-        feats, sent = _decode_rows(r, scale_sel)
+        feats, sent = _decode_rows(r, scale_sel, row_bits(r))
     elif mode == "trilinear":
         x = u * R
         i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, R - 1)
         frac = jnp.clip(x - i, 0.0, 1.0)
         flat = m * (R * R * R) + (i[..., 0] * R + i[..., 1]) * R + i[..., 2]
-        r = jnp.take(rows, flat, axis=0)  # (N, 8*F/4) i32
+        r = jnp.take(rows, flat, axis=0)  # (N, 8 corners x F/4 or F/2) i32
+        rsub = r.reshape(*flat.shape, 8, rows.shape[-1] // 8)
         corner, csent = _decode_rows(
-            r.reshape(*flat.shape, 8, rows.shape[-1] // 8), scale_sel[..., None, :]
+            rsub, scale_sel[..., None, :], row_bits(rsub)
         )  # (N, 8, F), (N, 8)
         bits = jnp.asarray(_CORNER_BITS, jnp.float32)  # (8, 3)
         w = jnp.prod(
@@ -398,26 +448,24 @@ def baked_features_brick(
     ovf = slot >= n_heads
     slot_c = jnp.minimum(slot, n_heads - 1)
     s = jnp.arange(n_heads, dtype=jnp.int32)
-    selb = ((slot[..., None] == s) & head[..., None]).astype(jnp.float32)
-    # integer payloads through MXU contractions MUST be exact_einsum: TPU
-    # default precision is bf16 and corrupts ids > 256 (VERDICT r2 weak #2);
-    # fine-brick row ids reach ~3.3M < 2^24, halves < 2^16 — exact at HIGHEST
-    from sienerf_tpu.ops.exact import exact_einsum
+    selb = (slot[..., None] == s) & head[..., None]
+    # integer payloads through MXU contractions MUST be exact (TPU default
+    # bf16 rounding corrupts ids > 256 — VERDICT r2 weak #2); the byte-plane
+    # routes (ops/exact.onehot_*) are exact at the fast single-pass precision
+    from sienerf_tpu.ops.exact import onehot_compact_i32, onehot_select_u32
 
-    ids = exact_einsum("aeh,ae->ah", selb, row.astype(jnp.float32)).astype(jnp.int32)
+    ids = onehot_compact_i32(selb, row)
     bricks = jnp.take(brows, ids.reshape(-1), axis=0).reshape(A, n_heads, -1)
     Ci = bricks.shape[-1] // 16
     u = jax.lax.bitcast_convert_type(bricks, jnp.uint32).reshape(A, n_heads * 16, Ci)
     q = slot_c * 16 + off  # my sub-row in the per-ray virtual vertex table
-    sel = (q[..., None] == jnp.arange(n_heads * 16, dtype=jnp.int32)).astype(jnp.float32)
-    lo = exact_einsum("aeq,aqw->aew", sel, (u & jnp.uint32(0xFFFF)).astype(jnp.float32))
-    hi = exact_einsum("aeq,aqw->aew", sel, (u >> 16).astype(jnp.float32))
-    r_u32 = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+    sel = q[..., None] == jnp.arange(n_heads * 16, dtype=jnp.int32)
+    r_u32 = onehot_select_u32(sel, u)  # (A, E, Ci)
     r_i32 = jax.lax.bitcast_convert_type(r_u32, jnp.int32)
     scale_sel = jnp.zeros(pos.shape[:-1] + (scale.shape[-1],), jnp.float32)
     for k in range(K):
         scale_sel = jnp.where((m == k)[..., None], scale[k], scale_sel)
-    feats, sent = _decode_rows(r_i32, scale_sel)
+    feats, sent = _decode_rows(r_i32, scale_sel, row_bits(r_i32))
     return _apply_sentinel(feats, sent | oob), ovf
 
 

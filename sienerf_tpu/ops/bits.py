@@ -120,25 +120,23 @@ def lookup_bits_brick(
     them).  Rows past the head budget return True (conservative keep: the
     fine gather's sentinel composites extras to zero, so the frame is
     unchanged) — size n_heads for the common case, not the worst."""
-    from sienerf_tpu.ops.exact import exact_einsum
+    from sienerf_tpu.ops.exact import onehot_compact_i32, onehot_select_u32
 
     A, P = row.shape
     head = jnp.concatenate([jnp.ones((A, 1), bool), row[:, 1:] != row[:, :-1]], axis=1)
     slot = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1  # (A, P) my run's slot
     ovf = slot >= n_heads
     s = jnp.arange(n_heads, dtype=jnp.int32)
-    sel = (slot[..., None] == s).astype(jnp.float32)  # (A, P, S); ovf rows are all-zero
-    # compact head row ids to (A, S): one-hot contraction.  MUST be
-    # exact_einsum — ids are integers up to ~2^22 (fine-brick table), and
-    # TPU DEFAULT matmul precision rounds them to bf16 (8-bit mantissa),
-    # gathering garbage rows (the round-2 12.9 dB frame; VERDICT r2 weak #2)
-    ids = exact_einsum("aps,ap->as", sel * head[..., None], row.astype(jnp.float32))
-    rows4 = jnp.take(words, ids.astype(jnp.int32).reshape(-1), axis=0).reshape(A, n_heads, 4)
-    # broadcast each head's row back down its run (uint32 split into exact
-    # f32-representable 16-bit halves; exact_einsum keeps them exact on MXU)
-    lo = exact_einsum("aps,asw->apw", sel, (rows4 & jnp.uint32(0xFFFF)).astype(jnp.float32))
-    hi = exact_einsum("aps,asw->apw", sel, (rows4 >> 16).astype(jnp.float32))
-    myrow = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)  # (A, P, 4)
+    sel = slot[..., None] == s  # (A, P, S) bool; ovf rows are all-zero
+    # compact head row ids to (A, S): one-hot contraction.  Integer payloads
+    # through MXU contractions must be EXACT (TPU default bf16 rounding
+    # corrupted ids in round 2 — the 12.9 dB frame, VERDICT r2 weak #2);
+    # the byte-plane routes are exact at the fast single-pass precision.
+    ids = onehot_compact_i32(sel & head[..., None], row)
+    rows4 = jnp.take(words, ids.reshape(-1), axis=0).reshape(A, n_heads, 4)
+    # broadcast each head's row back down its run — byte-plane select, exact
+    # at the fast single-pass MXU precision (ops/exact.onehot_select_u32)
+    myrow = onehot_select_u32(sel, rows4)  # (A, P, 4)
     lane = (off >> 5)[..., None] == jnp.arange(4, dtype=jnp.int32)
     w = jnp.sum(jnp.where(lane, myrow, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
     bit = ((w >> (off & 31).astype(jnp.uint32)) & 1).astype(bool)

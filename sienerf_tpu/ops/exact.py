@@ -47,3 +47,60 @@ def exact_einsum(subscripts: str, *operands) -> jnp.ndarray:
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def onehot_select_u32(sel: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
+    """Exact 32-bit payload routing on the FAST MXU path: one-hot select
+    ``(A, P, S) x (A, S, W) uint32 -> (A, P, W) uint32`` via byte planes.
+
+    Rationale: Precision.HIGHEST (exact_einsum) is exact but costs 6 bf16
+    multiply passes per f32 contraction (3x3 term products).  Splitting each
+    uint32 word into its 4 bytes makes every payload <= 255 — and integers
+    up to 2^8 are EXACTLY representable in bf16 (8 significand bits), so a
+    single DEFAULT-precision pass with f32 accumulation routes them exactly:
+    one-hot entries are 0/1, products are exact bf16 values, sums accumulate
+    in f32.  One fused (4W-wide) contraction at 1 pass replaces two W-wide
+    contractions at 6 passes — ~3x less MXU work, and `sel` travels as bf16
+    (half the HBM bytes of f32).
+
+    `sel` may be bool/int/float; rows whose one-hot is all-zero return 0.
+    Works for ANY 32-bit payload (bitcast floats through uint32).
+    """
+    A, P, S = sel.shape
+    W = words.shape[-1]
+    b = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (A, S, W, 4)
+    b = b.reshape(A, S, W * 4).astype(jnp.bfloat16)
+    # bf16-ok: every product is an integer <= 255, exactly representable in
+    # bf16; sums accumulate in f32 — exact by construction (see docstring)
+    out = jnp.einsum(
+        "aps,asw->apw", sel.astype(jnp.bfloat16), b,
+        preferred_element_type=jnp.float32,
+    )
+    by = jnp.round(out).astype(jnp.uint8).reshape(A, P, W, 4)
+    return jax.lax.bitcast_convert_type(by, jnp.uint32)
+
+
+def onehot_compact_u32(sel: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
+    """The compaction direction: ``(A, P, S) x (A, P, W) uint32 ->
+    (A, S, W) uint32`` — route candidate-axis payloads into their slots.
+    Exact under the same byte-plane argument PROVIDED each (a, s) slot has
+    at most one sel=1 along P (true for run-head compaction), so every
+    output byte is a single routed value, not a sum."""
+    A, P, S = sel.shape
+    W = words.shape[-1]
+    b = jax.lax.bitcast_convert_type(words, jnp.uint8)
+    b = b.reshape(A, P, W * 4).astype(jnp.bfloat16)
+    # bf16-ok: byte payloads <= 255 are bf16-exact (see onehot_select_u32)
+    out = jnp.einsum(
+        "aps,apw->asw", sel.astype(jnp.bfloat16), b,
+        preferred_element_type=jnp.float32,
+    )
+    by = jnp.round(out).astype(jnp.uint8).reshape(A, S, W, 4)
+    return jax.lax.bitcast_convert_type(by, jnp.uint32)
+
+
+def onehot_compact_i32(sel: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """onehot_compact_u32 for (A, P) int32 payloads -> (A, S) int32 (e.g.
+    compacting gather row ids to run heads): byte-plane trick, W=1."""
+    u = onehot_compact_u32(sel, vals.astype(jnp.uint32)[..., None])
+    return u[..., 0].astype(jnp.int32)

@@ -39,6 +39,16 @@ def calc_dt(t: jnp.ndarray, cone_angle: float) -> jnp.ndarray:
     return jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
 
 
+def _as_packed(bitfield: jnp.ndarray) -> jnp.ndarray:
+    """Accept either a (C,G,G,G) bool bitfield or its pack_occupancy rows
+    ((N/128, 4) uint32).  The march loops probe the packed form; packing is
+    an O(grid) elementwise pass, so frame renderers hoist it out of their
+    per-round bodies by passing the packed rows straight through."""
+    if bitfield.dtype == jnp.uint32:
+        return bitfield
+    return pack_occupancy(bitfield)
+
+
 def cone_angle_for_aabb(aabb_scale: float, cone_angle_constant: float = 1.0 / 256.0) -> float:
     """Reference: uniform steps inside the unit cube, cone stepping for larger
     scenes (testbed_nerf.cu render path, m_nerf.cone_angle_constant)."""
@@ -105,7 +115,7 @@ def march_rays(
 
     iota_K = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
 
-    words_span = pack_occupancy(bitfield)
+    words_span = _as_packed(bitfield)
 
     def body(_, state):
         t, k, ts, dts = state
@@ -190,8 +200,8 @@ def _march_rays_scalar(
     g_fine = fine.shape[1] if fine is not None else config.grid_size
     # pack once, probe rows in the loop (one elementwise pass; the loop does
     # iters x N scalar probes otherwise)
-    words = pack_occupancy(bitfield)
-    words_fine = pack_occupancy(fine) if fine is not None else None
+    words = _as_packed(bitfield)
+    words_fine = _as_packed(fine) if fine is not None else None
 
     def body(_, state):
         t, k, ts, dts = state
@@ -243,7 +253,7 @@ def advance_to_occupied(
     ALL pixels so the streaming renderer's eval rounds start on content
     (measured: the first ~2 rounds per ray otherwise evaluate at fill~0)."""
 
-    words = pack_occupancy(bitfield)
+    words = _as_packed(bitfield)
 
     def body(_, t):
         pos = origins + t[:, None] * dirs

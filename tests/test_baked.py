@@ -499,3 +499,69 @@ def test_compact_candidates_onehot_equivalence():
     m = np.asarray(k1)
     assert np.allclose(np.asarray(t1)[m], np.asarray(t2)[m])
     assert np.allclose(np.asarray(d1)[m], np.asarray(d2)[m])
+
+
+def test_scout_advance_conservative():
+    """The vectorized scout advance must NEVER jump past a position whose
+    nearest fine vertex is live (else the candidate chain would skip real
+    content and render holes).  Brute-force oracle: march t..t_new at fine
+    spacing and assert every skipped position's nearest vertex is dead."""
+    import jax
+
+    from sienerf_tpu.engines.nerf_baked import _scout_advance
+    from sienerf_tpu.ops.baked import nearest_vertex_ids, scout_live_bits
+    from sienerf_tpu.ops.bits import pack_bits
+
+    R, K = 32, 2
+    Rv = R + 1
+    rng = np.random.default_rng(7)
+    live = jnp.asarray(rng.random(K * Rv**3) < 0.02)  # sparse field
+    grid = {"bits3": scout_live_bits(live, R, K)}
+    meta = {"resolution": R, "n_cascades": K}
+
+    A, S = 64, 16
+    o = jnp.asarray(rng.uniform(-0.4, 1.4, (A, 3)), jnp.float32)
+    d = rng.normal(size=(A, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.0, 0.3, (A,)), jnp.float32)
+    t1 = t + 2.0
+    t_new = np.asarray(_scout_advance(grid, meta, o, d, t, t1, S))
+    assert np.all(t_new >= np.asarray(t) - 1e-6)
+
+    # oracle: sample the skipped span densely; nearest-vertex reads there
+    # must all be dead
+    M = 512
+    fr = np.linspace(0.0, 1.0, M, endpoint=False)[None, :]
+    ts = np.asarray(t)[:, None] + fr * np.maximum(t_new - np.asarray(t), 0.0)[:, None]
+    pos = np.asarray(o)[:, None, :] + ts[..., None] * np.asarray(d)[:, None, :]
+    flat, oob, _ = nearest_vertex_ids(R, K, jnp.asarray(pos, jnp.float32))
+    hit = np.asarray(live)[np.asarray(flat)] & ~np.asarray(oob)
+    # positions strictly inside [t, t_new) must be dead (t_new itself may be
+    # one h before a live probe, i.e. still dead, but allow the boundary)
+    skipped = ts < t_new[:, None] - 1e-6
+    assert not np.any(hit & skipped), (
+        f"scout advance skipped {int(np.sum(hit & skipped))} live samples"
+    )
+
+
+def test_quantize_rows_int16_roundtrip():
+    """int16 bake rows: round-trip error ~scale/2, sentinel preserved, and
+    baked_features dispatches by the (static) row width."""
+    from sienerf_tpu.ops.baked import _decode_rows, quantize_rows, row_bits
+
+    rng = np.random.default_rng(3)
+    F = 16
+    feats = jnp.asarray(rng.normal(size=(64, F)) * 5.0, jnp.float32)
+    scale = jnp.abs(jnp.asarray(rng.normal(size=(F,)), jnp.float32)) * 1e-3 + 1e-4
+    keep = jnp.asarray(rng.random(64) < 0.8)
+    rows16 = quantize_rows(feats, scale, keep, bits=16)
+    assert rows16.shape == (64, F // 2) and row_bits(rows16) == 16
+    dec, sent = _decode_rows(rows16, scale, 16)
+    assert np.array_equal(np.asarray(sent), ~np.asarray(keep))
+    kept = np.asarray(keep)
+    clip = np.asarray(jnp.clip(feats, -32767 * scale, 32767 * scale))
+    err = np.abs(np.asarray(dec) - clip)[kept]
+    assert err.max() <= float(scale.max()) * 0.51
+
+    rows8 = quantize_rows(feats, scale, keep, bits=8)
+    assert rows8.shape == (64, F // 4) and row_bits(rows8) == 8

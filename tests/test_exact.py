@@ -109,3 +109,43 @@ def test_baked_features_brick_large_row_ids():
     served = ~np.asarray(ovf).reshape(-1)
     assert served.sum() > A * E * 0.8
     assert np.array_equal(fb[served], fr[served])
+
+
+def test_onehot_select_u32_exact():
+    """Byte-plane one-hot routing must be bit-exact for arbitrary uint32
+    payloads (floats bitcast through it too) in both directions."""
+    import jax
+
+    from sienerf_tpu.ops.exact import (
+        onehot_compact_i32,
+        onehot_compact_u32,
+        onehot_select_u32,
+    )
+
+    A, P, S, W = 8, 24, 10, 4
+    rng = np.random.default_rng(0)
+    words = jnp.asarray(
+        rng.integers(0, 1 << 32, (A, S, W), dtype=np.uint32)
+    )  # full 32-bit range: exercises high bits and every byte plane
+    slot = jax.random.randint(jax.random.PRNGKey(1), (A, P), 0, S, jnp.int32)
+    sel = slot[..., None] == jnp.arange(S, dtype=jnp.int32)
+    out = onehot_select_u32(sel, words)
+    ref = np.take_along_axis(
+        np.asarray(words), np.asarray(slot)[..., None], axis=1
+    )
+    assert np.array_equal(np.asarray(out), ref)
+
+    # compact direction: one source per slot
+    perm = jnp.argsort(jax.random.normal(jax.random.PRNGKey(2), (A, P)), axis=1)
+    src = perm[:, :S]  # distinct source columns per slot
+    selc = jnp.zeros((A, P, S), bool)
+    selc = selc.at[jnp.arange(A)[:, None], src, jnp.arange(S)[None, :]].set(True)
+    wordsP = jnp.asarray(rng.integers(0, 1 << 32, (A, P, W), dtype=np.uint32))
+    outc = onehot_compact_u32(selc, wordsP)
+    refc = np.take_along_axis(np.asarray(wordsP), np.asarray(src)[..., None], axis=1)
+    assert np.array_equal(np.asarray(outc), refc)
+
+    ids = jax.random.randint(jax.random.PRNGKey(4), (A, P), 0, (1 << 24), jnp.int32)
+    outi = onehot_compact_i32(selc, ids)
+    refi = np.take_along_axis(np.asarray(ids), np.asarray(src), axis=1)
+    assert np.array_equal(np.asarray(outi), refi)

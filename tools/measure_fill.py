@@ -42,10 +42,7 @@ def main():
     from sienerf_tpu.ops.raymarch import advance_to_occupied
     t0_a = advance_to_occupied(eng.march, bf, o_a, d_a, t0_a, t1_a, eng.init_advance_iters)
 
-    def pad1(x, row):
-        return jnp.concatenate([x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])])
-    rays_pre = (pad1(o_a, [0., 0., 0.]), pad1(d_a, [0., 0., 1.]), pad1(dn_a, 1.0),
-                pad1(t0_a, 0.0), pad1(t1_a, 0.0))
+    rays_pre = eng._frame_pack_rays(o_a, d_a, dn_a, t0_a, t1_a)
     ids0 = jnp.arange(A, dtype=jnp.int32)
     o0, d0, dn0, t00, t10 = eng._frame_take_rays(ids0, n, rays_pre)
     zero = jnp.zeros((A,), jnp.float32)

@@ -48,10 +48,14 @@ def main():
         retreat_to_occupied,
     )
 
+    from sienerf_tpu.engines.nerf_baked import resolve_baked_knobs
+
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     EV = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     SS = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
     ADV = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    KNOBS = resolve_baked_knobs()  # SIENERF_CULL / SIENERF_FINE / *_HEADS env
+    print(f"# P={P} EV={EV} SS={SS} ADV={ADV} knobs={KNOBS}")
 
     eng, state = get_state()
     params = inference_params(state["opt"], state["params"])
@@ -92,7 +96,7 @@ def main():
         # production cull (SIENERF_CULL-aware; coarse sidecar by default)
         from sienerf_tpu.engines.nerf_baked import _cull_keep
 
-        keep, flat = _cull_keep(grid, meta, pos, valid)
+        keep, flat = _cull_keep(grid, meta, pos, valid, KNOBS[0], KNOBS[2])
         if level == 2:
             return jnp.sum(keep)
         if bound < P:
@@ -150,18 +154,7 @@ def main():
         composite_total = dt
 
     # full round (march/eval + flush/refill), state threaded like production
-    def pad1(x, row):
-        return jnp.concatenate(
-            [x, jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])]
-        )
-
-    rays_pre = (
-        pad1(o, [0.0, 0.0, 0.0]),
-        pad1(d, [0.0, 0.0, 1.0]),
-        pad1(dn, 1.0),
-        pad1(t0, 0.0),
-        pad1(t1, 0.0),
-    )
+    rays_pre = eng._frame_pack_rays(o, d, dn, t0, t1)
     zero = jnp.zeros((A,), jnp.float32)
     st = dict(
         ids=ids, o=o, d=d, dnorm=dn, t=t0, t1=t1,
@@ -186,7 +179,7 @@ def main():
         # their delta to 'full round' conflates tail cost with divergence)
         def body(i, s):
             return _baked_accum_pass(
-                eng, s, p, grid, meta, bitfield, P, EV, SS, 24, ADV
+                eng, s, p, grid, meta, bitfield, P, EV, SS, 24, ADV, KNOBS
             )
 
         return jax.lax.fori_loop(0, iters, body, st)
@@ -195,7 +188,8 @@ def main():
     def run_full(st, p, grid, bitfield, rays_pre, iters=8):
         def body(i, s):
             return _baked_round(
-                eng, s, p, grid, meta, bitfield, n, rays_pre, P, EV, SS, 24, ADV
+                eng, s, p, grid, meta, bitfield, n, rays_pre, P, EV, SS, 24, ADV,
+                KNOBS,
             )
 
         return jax.lax.fori_loop(0, iters, body, st)

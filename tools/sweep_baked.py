@@ -243,6 +243,46 @@ CONFIG_SETS = {
              init_advance_iters=32,
              env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick"}),
     ],
+    # v11: per-round overhead attack on the v10 winner (CULL=brick,
+    # FINE=row, 1130 ms).  The frame is eval-limited (ev window ~97%
+    # utilized) but ~60% of each round is non-gather overhead (advance,
+    # flush, probe+merge bookkeeping).  Probe: (a) coarser sampling
+    # ladders (ss up — fewer total evals, quality-gated by the caller),
+    # (b) wider tiles (halve round count, amortize true fixed costs),
+    # (c) flush amortization, (d) shallower per-round advance under the
+    # brick cull, (e) wider eval windows (fewer rounds at same gathers).
+    "v11": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),  # v10 winner
+        dict(candidates=64, evals=16, step_scale=5.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=6.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, tile=1 << 17,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, tile=1 << 18,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, flush_every=2,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=24, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, tile=1 << 17, flush_every=2,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
