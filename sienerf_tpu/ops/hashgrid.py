@@ -340,12 +340,13 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
         Fp = _pad_features(C, F)
         glp = jnp.pad(gl, ((0, 0), (0, 0), (0, Fp - F)))  # (N,L,Fp)
         tp = _pad_cell_table(config, table)
-        if os.environ.get("SIENERF_HASH_BWD", "batched") == "batched":
+        if os.environ.get("SIENERF_HASH_BWD", "perlevel") == "batched":
             # ONE batched sort + ONE flat segment_sum instead of L
-            # sequential (argsort, scatter) pairs: lax.sort treats the
-            # level axis as a batch dim, so all 16 level sorts run in one
-            # vectorized pass (the 16 serial 256k-element sorts were the
-            # dominant slice of the 157ms train backward, VERDICT r2 #5).
+            # sequential (argsort, scatter) pairs.  MEASURED LOSER on the
+            # real chip (campaign3: +grad 450.7 ms vs per-level 233.4 at
+            # 2^18 samples) — one (L,N)-batched sort + (L*N, C*Fp) gather
+            # moves far more bytes than 16 small sorts save in latency.
+            # Kept as the A/B knob; per-level is the default.
             # Transpose the *inputs* (w: (N,L,C), glp: (N,L,Fp)) before the
             # outer product — transposing the (N,L,C*Fp) product would move
             # 4x the bytes.

@@ -283,6 +283,25 @@ CONFIG_SETS = {
              init_advance_iters=32, tile=1 << 17, flush_every=2,
              env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
     ],
+    # scout-vs-DDA per-round advance A/B at the brick/row winner
+    "adv": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dda"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "scout"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "scout"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=24,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "scout"}),
+    ],
     # quick 3-config set for flag A/Bs:
     # reference-quality, r2-best, and the lean-round variant
     "best": [
