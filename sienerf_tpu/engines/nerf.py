@@ -1257,7 +1257,7 @@ class NerfEngine:
         return jnp.asarray(fine)
 
     def bake_features(self, params, occ_state, resolution: int = 256, mode: str = "nearest",
-                      row_bits: int = 8):
+                      row_bits: int = 16):
         """Bake the density branch into a render-side feature grid
         (engines/nerf_baked.py).  Returns (grid pytree, static meta) for
         render_frame_baked — the fast path for interactive orbits.

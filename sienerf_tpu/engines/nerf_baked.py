@@ -89,7 +89,7 @@ def bake_feature_grid(
     mode: str = "nearest",
     chunk: int = 1 << 19,
     subset: int = 1 << 18,
-    row_bits: int = 8,
+    row_bits: int = 16,
 ):
     """Bake the density branch onto one (R+1)^3 vertex lattice PER occupancy
     cascade (cascade m = cube of side 2^m centered at 0.5, the occupancy

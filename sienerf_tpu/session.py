@@ -196,7 +196,7 @@ class Session:
 
     # --- rendering ----------------------------------------------------------
 
-    def bake(self, resolution: int = 256, mode: str = "nearest"):
+    def bake(self, resolution: int = 256, mode: str = "nearest", row_bits: int = 16):
         """Bake the trained NeRF into a render-side feature grid (NeRF mode
         only; engines/nerf_baked.py).  Cached until the next bake() call —
         re-bake after further training.  render(renderer="baked") uses it."""
@@ -206,7 +206,8 @@ class Session:
             raise RuntimeError("bake() is a NeRF-mode operation")
         params = inference_params(self.state["opt"], self.state["params"])
         self._baked = self.engine.bake_features(
-            params, self.state["occ"], resolution=resolution, mode=mode
+            params, self.state["occ"], resolution=resolution, mode=mode,
+            row_bits=row_bits,
         )
         return self._baked
 
