@@ -149,6 +149,7 @@ def main():
     # fine=brick measured slower despite fewer descriptors); ss=3 rung for
     # gate margin (diag: int16 bake ss4 30.56 dB vs live, ss2 32.6)
     CONFIGS = [
+        ("brick-brick", dict(BASE, cull="brick", fine="brick", fine_heads=12)),
         ("brick-row", dict(BASE, cull="brick", fine="row")),
         ("coarse-row", dict(BASE, cull="coarse", fine="row")),
         ("brick-row-ss3", dict(BASE, cull="brick", fine="row", step_scale=3.0)),

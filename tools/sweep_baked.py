@@ -283,6 +283,30 @@ CONFIG_SETS = {
              init_advance_iters=32, tile=1 << 17, flush_every=2,
              env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),
     ],
+    # v12: fine-brick revival under the byte-plane one-hot selects (the
+    # HIGHEST-precision einsums were ~3x the MXU work; v10's fine=brick
+    # loss may flip).  Head-budget ladder at the winner geometry.
+    "v12": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row"}),  # ref
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_FINE_HEADS": "8"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_FINE_HEADS": "12"}),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_FINE_HEADS": "16"}),
+        dict(candidates=64, evals=20, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
+                  "SIENERF_FINE_HEADS": "12"}),
+    ],
     # scout-vs-DDA per-round advance A/B at the brick/row winner
     "adv": [
         dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
