@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
-from sienerf_tpu.geom.bvh import TriangleBVH, build_bvh, bvh_raytrace
+from sienerf_tpu.geom.bvh import (
+    TriangleBVH,
+    build_brute,
+    build_bvh,
+    bvh_raytrace,
+    brute_raytrace,
+)
 from sienerf_tpu.geom.mesh_io import load_mesh, normalize_to_unit_cube, triangle_normals
 from sienerf_tpu.ops.brdf import (
     BRDFParams,
@@ -55,6 +61,11 @@ class GeometryObject:
     nerf_state: dict | None = None
 
 
+# dense ray x tri tracing beats the while_loop BVH up to at least this size
+# (crossover is far above typical scene-graph props; knob for A/B)
+_BRUTE_MAX_TRIS = int(__import__("os").environ.get("SIENERF_BRUTE_MAX", 65536))
+
+
 @dataclass(eq=False)
 class GeometryEngine:
     objects: list
@@ -62,6 +73,7 @@ class GeometryEngine:
     tri_normals: jnp.ndarray | None
     tri_obj_id: jnp.ndarray | None
     aabb: BoundingBox
+    brute_dev: dict | None = None  # dense tracer constants (small scenes)
     brdf: BRDFParams = field(default_factory=BRDFParams)
     sun_dir: tuple = (0.577, 0.577, 0.577)
     up_dir: tuple = (0.0, 1.0, 0.0)
@@ -114,6 +126,7 @@ class GeometryEngine:
         bvh_dev = None
         normals = None
         obj_id = None
+        brute_dev = None
         if all_tris:
             tris = np.concatenate(all_tris).astype(np.float32)
             obj_ids = np.concatenate(all_obj_id)
@@ -121,6 +134,11 @@ class GeometryEngine:
             bvh_dev = bvh.as_device_arrays()
             normals = jnp.asarray(triangle_normals(bvh.triangles))
             obj_id = jnp.asarray(obj_ids[bvh.tri_index])
+            # small scenes trace ~100x faster dense than through the
+            # while_loop BVH (see geom/bvh.py brute-force tier note);
+            # built from the SAME reordered triangles so tri ids agree
+            if len(tris) <= _BRUTE_MAX_TRIS:
+                brute_dev = build_brute(bvh.triangles)
         log.info(
             f"geometry scene: {len(objects)} objects ({sum(o.kind == 'mesh' for o in objects)} meshes, "
             f"{sum(o.kind == 'nerf' for o in objects)} nerfs), {n_tris} triangles, aabb={aabb.min}..{aabb.max}"
@@ -130,6 +148,7 @@ class GeometryEngine:
             bvh_dev=bvh_dev,
             tri_normals=normals,
             tri_obj_id=obj_id,
+            brute_dev=brute_dev,
             aabb=aabb.inflated(0.25),
         )
 
@@ -204,9 +223,22 @@ class GeometryEngine:
             return sample_probe_grid(geom["probe_grid"], pos, normals)
         return jnp.asarray(self.brdf.ambientcolor) * sky_ambient(normals, up)
 
+    def _trace(self, geom, o, d, t_max=1e10):
+        """Closest-hit dispatch: dense brute tracer when the scene is small
+        (geom/bvh.py brute tier), stackless BVH otherwise."""
+        if "brute" in geom:
+            return brute_raytrace(geom["brute"], o, d, t_max)
+        return bvh_raytrace(geom["bvh"], o, d, t_max)
+
+    def _geom_dict(self):
+        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals}
+        if self.brute_dev is not None:
+            geom["brute"] = self.brute_dev
+        return geom
+
     def render_mesh_rays(self, origins, dirs):
         """Mesh pass on a ray batch: returns (rgb, depth (inf=miss), hit)."""
-        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals}
+        geom = self._geom_dict()
         if self.shade_mode == "envmap" and self.envmap is not None:
             geom["envmap"] = self.envmap
         if self.shade_mode == "grid" and self.probe_grid is not None:
@@ -220,7 +252,7 @@ class GeometryEngine:
     def _mesh_rays_body(self, geom, origins, dirs):
         dn = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         d = dirs / dn
-        t, tid, u, v = bvh_raytrace(geom["bvh"], origins, d)
+        t, tid, u, v = self._trace(geom, origins, d)
         hit = tid >= 0
         pos = origins + t[:, None] * d
         normal = jnp.take(geom["tri_normals"], jnp.maximum(tid, 0), axis=0)
@@ -231,7 +263,7 @@ class GeometryEngine:
         sun = sun / jnp.linalg.norm(sun)
         # shadow pass: re-trace from the hit point toward the sun
         spos = pos + normal * 1e-3
-        st, stid, _, _ = bvh_raytrace(geom["bvh"], spos, jnp.broadcast_to(sun, spos.shape))
+        st, stid, _, _ = self._trace(geom, spos, jnp.broadcast_to(sun, spos.shape))
         shadow = jnp.where(stid >= 0, 0.0, 1.0)
         shadow = jnp.where(hit, shadow, 1.0)
 
@@ -392,7 +424,7 @@ class GeometryEngine:
 
             cache[key] = frame
 
-        geom = {"bvh": self.bvh_dev, "tri_normals": self.tri_normals} if self.bvh_dev is not None else {}
+        geom = self._geom_dict() if self.bvh_dev is not None else {}
         if self.shade_mode == "envmap" and self.envmap is not None:
             geom["envmap"] = self.envmap
         if self.shade_mode == "grid" and self.probe_grid is not None:

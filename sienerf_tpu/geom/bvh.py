@@ -249,6 +249,118 @@ def bvh_any_hit(bvh: dict, origins, dirs, t_max=1e10, max_steps: int = 2048, lea
     return tid >= 0
 
 
+# --- brute-force tracer (small meshes) ----------------------------------------
+#
+# The stackless-BVH while_loop above is latency-bound on TPU: every iteration
+# is ~8 gathers of N descriptors and ALL lanes step together until the slowest
+# ray finishes (measured 17 s for a 720p frame on a 5k-triangle bunny).  For
+# small meshes the TPU-native answer is to drop the tree entirely: test every
+# ray against every triangle with dense, regular arithmetic.  Per (ray, tri)
+# pair the plane/barycentric form of the intersection test (Baldwin & Weber,
+# JCGT 2016 — constants derived independently below) needs only
+#   t = (k - n·o) / (n·d),  u = (U·o + u_w) + t (U·d),  v likewise,
+# so the whole test factors into TWO (R,3)@(3,3T) contractions (one for
+# origins, one for dirs) plus elementwise work — no gathers, no
+# data-dependent control flow, everything tiles onto the VPU/MXU.
+# 5k tris x 921k rays measures ~100x faster than the while_loop BVH.
+
+
+def build_brute(triangles, pad_to: int = 512) -> dict:
+    """Precompute per-triangle constants for brute_raytrace.
+
+    triangles: (T,3,3) — MUST be the same (reordered) array the BVH exposes
+    so returned tri ids index tri_normals identically.  Padded tris have
+    n = 0 -> |n·d| <= eps -> never hit.
+    """
+    tri = np.ascontiguousarray(triangles, np.float32)
+    T = len(tri)
+    Tp = max(pad_to, ((T + pad_to - 1) // pad_to) * pad_to)
+    a = np.zeros((Tp, 3), np.float32)
+    ab = np.zeros((Tp, 3), np.float32)
+    ac = np.zeros((Tp, 3), np.float32)
+    a[:T] = tri[:, 0]
+    ab[:T] = tri[:, 1] - tri[:, 0]
+    ac[:T] = tri[:, 2] - tri[:, 0]
+    n = np.cross(ab, ac)  # unnormalized; n·n = det[ab,ac,n]
+    nn = np.sum(n * n, axis=-1)
+    safe = np.where(nn > 1e-30, nn, 1.0)[:, None]
+    # barycentrics: p - a = u·ab + v·ac (in-plane) => u = (ac x n)·(p-a)/n·n,
+    # v = (n x ab)·(p-a)/n·n  (triple-product identities; see derivation in
+    # the module comment).  Degenerate tris keep n = 0 and never hit.
+    n = np.where(nn[:, None] > 1e-30, n, 0.0)
+    U = np.cross(ac, n) / safe
+    V = np.cross(n, ab) / safe
+    # G packs the three row-vector families so one (R,3)@(3,3Tp) matmul
+    # yields [n·x | U·x | V·x] for any batch of points/dirs x.
+    G = np.concatenate([n, U, V], axis=0).T  # (3, 3Tp)
+    return {
+        "G": jnp.asarray(np.ascontiguousarray(G)),
+        "k": jnp.asarray(np.sum(n * a, axis=-1)),
+        "uw": jnp.asarray(-np.sum(U * a, axis=-1)),
+        "vw": jnp.asarray(-np.sum(V * a, axis=-1)),
+        "n_tris": T,
+    }
+
+
+def _brute_tile(bt, o, d, t_max, eps=1e-9):
+    """One ray tile vs ALL triangles. o,d: (R,3); returns (t, tid, u, v)."""
+    import jax.lax as lax
+
+    Tp = bt["k"].shape[0]
+    # two dense contractions give every per-pair dot product at once
+    Go = lax.dot(o, bt["G"], precision=lax.Precision.HIGHEST)  # (R, 3Tp)
+    Gd = lax.dot(d, bt["G"], precision=lax.Precision.HIGHEST)
+    no, uo, vo = Go[:, :Tp], Go[:, Tp : 2 * Tp], Go[:, 2 * Tp :]
+    nd, ud, vd = Gd[:, :Tp], Gd[:, Tp : 2 * Tp], Gd[:, 2 * Tp :]
+    live = jnp.abs(nd) > eps
+    t = (bt["k"][None, :] - no) / jnp.where(live, nd, 1.0)
+    u = (uo + bt["uw"][None, :]) + t * ud
+    v = (vo + bt["vw"][None, :]) + t * vd
+    hit = live & (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t > eps) & (t < t_max[:, None])
+    t = jnp.where(hit, t, jnp.inf)
+    # min-select; ids resolved with an integer one-hot SUM on the VPU
+    # (never an MXU contraction: ops/exact.py precision policy)
+    j = jnp.argmin(t, axis=-1)
+    oh = jnp.arange(Tp, dtype=jnp.int32)[None, :] == j[:, None]
+    tj = jnp.min(t, axis=-1)
+    tid = jnp.sum(jnp.where(oh, jnp.arange(Tp, dtype=jnp.int32)[None, :], 0), axis=1)
+    uj = jnp.sum(jnp.where(oh, u, 0.0), axis=1)
+    vj = jnp.sum(jnp.where(oh, v, 0.0), axis=1)
+    miss = ~jnp.isfinite(tj)
+    return (
+        jnp.where(miss, jnp.inf, tj),
+        jnp.where(miss, -1, tid),
+        jnp.where(miss, 0.0, uj),
+        jnp.where(miss, 0.0, vj),
+    )
+
+
+def brute_raytrace(bt: dict, origins, dirs, t_max=1e10, ray_tile: int = 8192):
+    """Closest-hit over all triangles; drop-in for bvh_raytrace on small
+    meshes.  lax.scan over fixed ray tiles keeps the (tile, 3T) intermediates
+    bounded regardless of ray count."""
+    N = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    n_pad = ((N + ray_tile - 1) // ray_tile) * ray_tile
+    pad = n_pad - N
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+    d = jnp.concatenate(
+        [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dirs.dtype), (pad, 3))]
+    )
+    tm = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+    o = o.reshape(-1, ray_tile, 3)
+    d = d.reshape(-1, ray_tile, 3)
+    tm = tm.reshape(-1, ray_tile)
+
+    def step(_, x):
+        oo, dd, tt = x
+        return None, _brute_tile(bt, oo, dd, tt)
+
+    _, (t, tid, u, v) = jax.lax.scan(step, None, (o, d, tm))
+    flat = lambda x: x.reshape(-1)[:N]
+    return flat(t), flat(tid), flat(u), flat(v)
+
+
 def bvh_count_hits(
     bvh: dict,
     origins: jnp.ndarray,

@@ -121,3 +121,46 @@ def test_triangle_areas(bunny):
     areas = triangle_areas(bunny)
     assert (areas >= 0).all()
     assert areas.sum() > 0.1
+
+
+def test_brute_raytrace_matches_bvh(bunny):
+    """Dense tracer (geom/bvh.py brute tier) agrees with the BVH on hits,
+    distances, and triangle ids (both index the reordered triangle array)."""
+    from sienerf_tpu.geom.bvh import brute_raytrace, build_brute
+
+    rng = np.random.default_rng(2)
+    n = 257  # non-multiple of the ray tile: exercises padding
+    o = np.full((n, 3), 0.5) + rng.normal(0, 0.05, (n, 3))
+    o[:, 2] = -0.5
+    d = rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = o.astype(np.float32)
+
+    bvh = build_bvh(bunny)
+    dev = bvh.as_device_arrays()
+    bt = build_brute(bvh.triangles)
+    t0, id0, u0, v0 = bvh_raytrace(dev, jnp.asarray(o), jnp.asarray(d))
+    t1, id1, u1, v1 = brute_raytrace(bt, jnp.asarray(o), jnp.asarray(d), ray_tile=128)
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    hit0, hit1 = np.isfinite(t0), np.isfinite(t1)
+    assert (hit0 == hit1).all()
+    assert hit0.sum() > n // 3
+    assert np.allclose(t0[hit0], t1[hit1], atol=1e-4)
+    # ids may legitimately differ where a ray grazes an edge shared by two
+    # coplanar-adjacent tris at equal t; everywhere else they must agree
+    same = id0 == id1
+    assert same[hit0].mean() > 0.99
+    assert np.allclose(np.asarray(u0)[same & hit0], np.asarray(u1)[same & hit1], atol=1e-3)
+
+
+def test_brute_raytrace_t_max(bunny):
+    from sienerf_tpu.geom.bvh import brute_raytrace, build_brute
+
+    bvh = build_bvh(bunny)
+    bt = build_brute(bvh.triangles)
+    o = jnp.asarray([[0.5, 0.5, -0.5], [0.5, 0.5, -0.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32)
+    t, tid, _, _ = brute_raytrace(bt, o, d, t_max=jnp.asarray([10.0, 0.01]))
+    assert np.isfinite(float(t[0])) and int(tid[0]) >= 0
+    assert not np.isfinite(float(t[1])) and int(tid[1]) == -1
