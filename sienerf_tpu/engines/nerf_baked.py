@@ -162,7 +162,7 @@ def bake_feature_grid(
             per_casc.append(rows.reshape(n_chunks * chunk, -1)[:n_vertices])
             bits_casc.append(live.reshape(-1)[:n_vertices])
         live_all = jnp.concatenate(bits_casc)
-        from sienerf_tpu.ops.baked import scout_live_bits
+        from sienerf_tpu.ops.baked import dist_live_cells, scout_live_bits
 
         return (
             jnp.concatenate(per_casc, axis=0),
@@ -170,11 +170,12 @@ def bake_feature_grid(
             coarse_live_bits(live_all, R, n_casc),
             coarse_live_bits_brick(live_all, R, n_casc),
             scout_live_bits(live_all, R, n_casc),
+            dist_live_cells(live_all, R, n_casc),
         )
 
-    vrows, bits, bits2, bits2b, bits3 = bake_vertices(params, scale)
+    vrows, bits, bits2, bits2b, bits3, dist3d = bake_vertices(params, scale)
     grid = {"scale": scale, "bits": bits, "bits2": bits2, "bits2b": bits2b,
-            "bits3": bits3}
+            "bits3": bits3, "dist3d": dist3d}
     if mode == "trilinear":
         grid["rows"] = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(
             vrows, R, n_casc
@@ -287,8 +288,10 @@ def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None,
         cull_heads = int(os.environ.get("SIENERF_CULL_HEADS", "16"))
     if fine_heads is None:
         fine_heads = int(os.environ.get("SIENERF_FINE_HEADS", "0"))
-    # adv: 'dda' (serial per-round advance_to_occupied) or 'scout'
-    # (vectorized quarter-res probe walk, _scout_advance)
+    # adv: 'dda' (serial per-round advance_to_occupied), 'scout' (vectorized
+    # quarter-res probe walk), or 'dist' (chained distance-field jumps, ONE
+    # byte-row gather each — _dist_advance; also replaces the frame-init
+    # advance/retreat)
     adv = adv or os.environ.get("SIENERF_ADV", "dda")
     return cull, fine, cull_heads, fine_heads, adv
 
@@ -356,6 +359,51 @@ def _scout_advance(grid, meta, o, d, t, t1, n_scout: int):
     return jnp.minimum(t_new, t1)
 
 
+def _dist_jump(grid, meta, pos):
+    """One batched distance-field probe: world positions -> safe advance
+    distance (world units).  Safety (ops/baked.dist_live_cells): D(cell) > 0
+    means every cell within Chebyshev D-1 is verified free of live nearest-
+    vertex reads, so a point may travel (D-1)*pitch in any direction; the
+    jump additionally clamps to the cascade cube's L_inf interior margin so
+    the segment never exits into a coarser cascade the field didn't see."""
+    from sienerf_tpu.ops.bits import lookup_bytes
+
+    R, K = meta["resolution"], meta["n_cascades"]
+    R4 = R // 4
+    m = mip_from_pos(pos, K)
+    ext = cascade_extent(m)
+    u = (pos - 0.5) / ext[..., None] + 0.5
+    inb = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    c3 = jnp.clip(jnp.floor(u * R4).astype(jnp.int32), 0, R4 - 1)
+    flat = m * (R4 * R4 * R4) + (c3[..., 0] * R4 + c3[..., 1]) * R4 + c3[..., 2]
+    D = lookup_bytes(grid["dist3d"], flat)
+    pitch = ext / R4
+    rem = ext * 0.5 - jnp.max(jnp.abs(pos - 0.5), axis=-1)  # room inside cube m
+    jump = jnp.minimum(
+        jnp.maximum(D - 1, 0).astype(jnp.float32) * pitch, jnp.maximum(rem, 0.0)
+    )
+    return jnp.where(inb, jump, 0.0)
+
+
+def _dist_advance(grid, meta, o, d, t, t1, n_jumps: int):
+    """Distance-field empty-space advance: `n_jumps` chained batched jumps
+    (each ONE byte-row gather per ray) replace the serial per-round DDA.
+    Conservative by construction — never advances past a position whose
+    nearest baked vertex is live (property test: test_dist_advance_conservative)."""
+    for _ in range(n_jumps):
+        t = jnp.minimum(t + _dist_jump(grid, meta, o + t[:, None] * d), t1)
+    return t
+
+
+def _dist_retreat(grid, meta, o, d, t0, t1, n_jumps: int):
+    """Symmetric backward jumps from the exit point: shrink t1 toward the
+    last live region (Chebyshev distance is isotropic, so the same field
+    bounds travel in the -d direction)."""
+    for _ in range(n_jumps):
+        t1 = jnp.maximum(t1 - _dist_jump(grid, meta, o + t1[:, None] * d), t0)
+    return t1
+
+
 def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
                      alive, P: int, evals: int, step_scale: float, adv_iters: int,
                      knobs=("coarse", "row", 16, 0)):
@@ -376,7 +424,9 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
     cull, fine, cull_heads, fine_heads = knobs[:4]
     adv_mode = knobs[4] if len(knobs) > 4 else "dda"
     if adv_iters > 0:
-        if adv_mode == "scout" and "bits3" in grid:
+        if adv_mode == "dist" and "dist3d" in grid:
+            t = _dist_advance(grid, meta, o, d, t, t1, max(2, adv_iters // 4))
+        elif adv_mode == "scout" and "bits3" in grid:
             t = _scout_advance(grid, meta, o, d, t, t1, 2 * adv_iters)
         else:
             t = advance_to_occupied(engine.march, bitfield, o, d, t, t1, adv_iters)
@@ -642,7 +692,14 @@ def _render_frame_baked_impl(
     # shallower init advance (overridable here without mutating the engine,
     # which would poison the jit cache keyed on the static engine arg)
     ia = engine.init_advance_iters if init_advance_iters is None else init_advance_iters
-    if ia > 0:
+    adv_mode = knobs[4] if len(knobs) > 4 else "dda"
+    if ia > 0 and adv_mode == "dist" and "dist3d" in grid:
+        # distance-field init: ~6 batched jumps instead of 2*ia serial DDA
+        # iterations over every pixel (the init march was ~10-15% of the
+        # frame at ia=32 — NOTES_ROUND3 dist-advance section)
+        t0_a = _dist_advance(grid, meta, o_a, d_a, t0_a, t1_a, max(3, ia // 8))
+        t1_a = _dist_retreat(grid, meta, o_a, d_a, t0_a, t1_a, max(3, ia // 8))
+    elif ia > 0:
         t0_a = advance_to_occupied(
             engine.march, bitfield, o_a, d_a, t0_a, t1_a, ia
         )
@@ -710,14 +767,14 @@ def _render_frame_baked_impl(
 
 def render_frame_baked(engine, params, bitfield, grid, camera_matrix,
                        focal_length, *, cull=None, fine=None, cull_heads=None,
-                       fine_heads=None, **kw):
+                       fine_heads=None, adv=None, **kw):
     """Full-frame baked render (see _render_frame_baked_impl for the actual
     pipeline).  This thin wrapper resolves the gather-strategy knobs
-    (cull/fine/heads — explicit args, SIENERF_* env as default source) in
-    Python BEFORE tracing and passes them as a static tuple, so changing a
-    knob always retraces instead of silently reusing a stale jit cache
+    (cull/fine/heads/adv — explicit args, SIENERF_* env as default source)
+    in Python BEFORE tracing and passes them as a static tuple, so changing
+    a knob always retraces instead of silently reusing a stale jit cache
     (the round-2 failure mode — resolve_baked_knobs docstring)."""
-    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads)
+    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads, adv)
     return _render_frame_baked_impl(
         engine, params, bitfield, grid, camera_matrix, focal_length,
         knobs=knobs, **kw,

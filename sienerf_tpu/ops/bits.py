@@ -141,3 +141,29 @@ def lookup_bits_brick(
     w = jnp.sum(jnp.where(lane, myrow, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
     bit = ((w >> (off & 31).astype(jnp.uint32)) & 1).astype(bool)
     return bit | ovf
+
+
+# --- byte-packed u8 tables: small-value scalar fields at row gather rate -----
+
+
+def pack_bytes(vals: jnp.ndarray) -> jnp.ndarray:
+    """(N,) integer values in [0, 255] -> (ceil(N/16), 4) uint32 rows, 16
+    bytes per row.  Byte i of word w = flat id w*4+i, word w at [w>>2, w&3]
+    (same row convention as pack_bits).  Scalar u8 gathers serialize on TPU
+    (occupancy_lookup note); a 16-byte row gather + in-register lane/byte
+    select runs at the descriptor-limited row rate instead."""
+    n = vals.shape[0]
+    pad = (-n) % 16
+    v = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(-1, 4, 4)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    return jnp.sum(v << shifts, axis=2, dtype=jnp.uint32)
+
+
+def lookup_bytes(rows: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Byte-packed table read: flat ids -> int32 values in [0, 255].  One
+    16-byte row gather + one-hot lane select + byte shift."""
+    w = flat >> 2  # word id
+    r = jnp.take(rows, w >> 2, axis=0)  # (..., 4)
+    lane = (w & 3)[..., None] == jnp.arange(4, dtype=jnp.int32)
+    word = jnp.sum(jnp.where(lane, r, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+    return ((word >> ((flat & 3) * 8).astype(jnp.uint32)) & 0xFF).astype(jnp.int32)

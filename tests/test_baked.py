@@ -565,3 +565,116 @@ def test_quantize_rows_int16_roundtrip():
 
     rows8 = quantize_rows(feats, scale, keep, bits=8)
     assert rows8.shape == (64, F // 4) and row_bits(rows8) == 8
+
+
+def test_pack_lookup_bytes_roundtrip():
+    from sienerf_tpu.ops.bits import lookup_bytes, pack_bytes
+
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.integers(0, 256, 1000), jnp.int32)
+    rows = pack_bytes(vals)
+    ids = jnp.asarray(rng.integers(0, 1000, 333), jnp.int32)
+    got = lookup_bytes(rows, ids)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(vals)[np.asarray(ids)])
+
+
+def test_dist_live_cells_chebyshev():
+    """Single-cascade sanity: the sidecar's D equals 1 + Chebyshev distance
+    to the nearest blocking quarter-cell (0 on blocking cells), clamped."""
+    from sienerf_tpu.ops.baked import dist_live_cells
+    from sienerf_tpu.ops.bits import lookup_bytes
+
+    R, K = 32, 1
+    Rv, R4 = R + 1, R // 4
+    live = np.zeros(K * Rv**3, bool)
+    # one live fine vertex at (16, 16, 16) -> blocking quarter-cells are
+    # those whose vertex window [4c, 4c+4] contains 16: c in {3, 4} per axis
+    live[(16 * Rv + 16) * Rv + 16] = True
+    rows = dist_live_cells(jnp.asarray(live), R, K, max_dist=15)
+    D = np.asarray(lookup_bytes(rows, jnp.arange(K * R4**3, dtype=jnp.int32)))
+    D = D.reshape(R4, R4, R4)
+    cc = np.stack(np.meshgrid(*[np.arange(R4)] * 3, indexing="ij"), -1)
+    cheb = np.max(
+        np.minimum(np.abs(cc - 3), np.abs(cc - 4)), axis=-1
+    )  # distance to the {3,4}^3 blocking block
+    expect = np.minimum(cheb, 15)
+    np.testing.assert_array_equal(D, expect)
+
+
+def test_dist_advance_conservative():
+    """The distance-jump advance (and retreat) must NEVER skip a position
+    whose nearest fine vertex is live — same oracle as the scout test, over
+    a 2-cascade field (exercises the cascade-combine + cube clamping)."""
+    from sienerf_tpu.engines.nerf_baked import _dist_advance, _dist_retreat
+    from sienerf_tpu.ops.baked import dist_live_cells, nearest_vertex_ids
+
+    R, K = 32, 2
+    Rv = R + 1
+    rng = np.random.default_rng(11)
+    # sparse at QUARTER-cell granularity: each cell covers 5^3 vertices, so
+    # vertex density must be ~1e-3 for non-blocking cells to exist at all
+    live = jnp.asarray(rng.random(K * Rv**3) < 0.001)
+    grid = {"dist3d": dist_live_cells(live, R, K)}
+    meta = {"resolution": R, "n_cascades": K}
+
+    A = 96
+    o = jnp.asarray(rng.uniform(-0.6, 1.6, (A, 3)), jnp.float32)
+    d = rng.normal(size=(A, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.0, 0.3, (A,)), jnp.float32)
+    t1 = t + 2.0
+    t_new = np.asarray(_dist_advance(grid, meta, o, d, t, t1, 4))
+    assert np.all(t_new >= np.asarray(t) - 1e-6)
+    assert np.any(t_new > np.asarray(t) + 1e-4)  # it does advance somewhere
+    t1_new = np.asarray(_dist_retreat(grid, meta, o, d, jnp.asarray(t_new), t1, 4))
+    assert np.all(t1_new <= np.asarray(t1) + 1e-6)
+
+    def assert_dead(ts_lo, ts_hi):
+        M = 1024
+        fr = np.linspace(0.0, 1.0, M, endpoint=False)[None, :]
+        ts = ts_lo[:, None] + fr * np.maximum(ts_hi - ts_lo, 0.0)[:, None]
+        pos = np.asarray(o)[:, None, :] + ts[..., None] * np.asarray(d)[:, None, :]
+        flat, oob, _ = nearest_vertex_ids(R, K, jnp.asarray(pos, jnp.float32))
+        hit = np.asarray(live)[np.asarray(flat)] & ~np.asarray(oob)
+        skipped = (ts < ts_hi[:, None] - 1e-6) & (ts > ts_lo[:, None] + 1e-6)
+        assert not np.any(hit & skipped), (
+            f"distance advance skipped {int(np.sum(hit & skipped))} live samples"
+        )
+
+    assert_dead(np.asarray(t), t_new)  # forward jumps
+    assert_dead(t1_new, np.asarray(t1))  # backward jumps
+
+
+def test_dist_advance_frame_matches_dda(trained_small):
+    """adv='dist' (distance-field jumps) is a pure empty-space accelerator:
+    the rendered frame must match the serial-DDA default to compositing
+    tolerance (both advances are conservative; the candidate cull absorbs
+    any difference in where the chain starts)."""
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    grid, meta = eng.bake_features(params, state["occ"], resolution=64, mode="nearest")
+    assert "dist3d" in grid
+
+    cam = ds.xforms[0]
+    focal = tuple(np.asarray(ds.focal_lengths[0], np.float32))
+    kw = dict(
+        width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
+        n_cascades=meta["n_cascades"], tile=1 << 12, candidates=32, evals=8,
+        min_transmittance=1e-4,
+    )
+    base, _ = render_frame_baked(eng, params, bitfield, grid, cam, focal, **kw)
+    dist, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, adv="dist", **kw
+    )
+    base, dist = np.asarray(base), np.asarray(dist)
+    mse = float(np.mean((base[..., :3] - dist[..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    # not bit-identical: a different (still conservative) advance shifts the
+    # candidate-chain PHASE, like the adv=0 / shallow-init variants above —
+    # same tolerance as those (skipping real content would fail the
+    # conservativeness property test, not just this)
+    assert psnr > 30.0, psnr

@@ -35,18 +35,26 @@ def main():
 
     R = int(os.environ.get("BAKE_R", "256"))
     RB = int(os.environ.get("BAKE_BITS", "8"))
+    MODE = os.environ.get("BAKE_MODE", "nearest")
     eng, state = get_state()
     params = inference_params(state["opt"], state["params"])
     bf = state["occ"]["bitfield"]
     t0 = time.time()
     grid, meta = eng.bake_features(params, state["occ"], resolution=R,
-                                   mode="nearest", row_bits=RB)
+                                   mode=MODE, row_bits=RB)
     float(jnp.asarray(grid["rows"][0, 0]))
-    print(f"# bake R={R} bits={RB}: {time.time() - t0:.0f}s")
+    print(f"# bake R={R} bits={RB} mode={MODE}: {time.time() - t0:.0f}s")
 
     cam = eng.xforms[0]
-    focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
-    sc = tuple(np.asarray(eng.principal_points[0]))
+    # FOCAL=native reproduces bench.py's gate view exactly (native focal
+    # scaled to the gate resolution, centered) — 1.5x more zoomed than the
+    # dataset-resolution view, where bake error reads ~3 dB harsher
+    if os.environ.get("FOCAL", "diag") == "native":
+        focal = tuple(np.asarray(eng.focals[0]) * 4.0 * W / 1280)
+        sc = (0.5, 0.5)
+    else:
+        focal = tuple(np.asarray(eng.focals[0]) * W / eng.resolution[0])
+        sc = tuple(np.asarray(eng.principal_points[0]))
 
     live, _ = eng.render_frame(params, bf, W, H, cam, focal, tile=1 << 14,
                                screen_center=sc)
