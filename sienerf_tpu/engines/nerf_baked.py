@@ -162,9 +162,13 @@ def bake_feature_grid(
             per_casc.append(rows.reshape(n_chunks * chunk, -1)[:n_vertices])
             bits_casc.append(live.reshape(-1)[:n_vertices])
         live_all = jnp.concatenate(bits_casc)
-        from sienerf_tpu.ops.baked import dist_live_cells, scout_live_bits
+        from sienerf_tpu.ops.baked import (
+            dist_live_cells,
+            scout_live_bits,
+            trilinear_live_bits,
+        )
 
-        return (
+        out = (
             jnp.concatenate(per_casc, axis=0),
             pack_bits(live_all),
             coarse_live_bits(live_all, R, n_casc),
@@ -172,11 +176,16 @@ def bake_feature_grid(
             scout_live_bits(live_all, R, n_casc),
             dist_live_cells(live_all, R, n_casc),
         )
+        if mode == "trilinear":
+            out = out + (trilinear_live_bits(live_all, R, n_casc),)
+        return out
 
-    vrows, bits, bits2, bits2b, bits3, dist3d = bake_vertices(params, scale)
+    baked = bake_vertices(params, scale)
+    vrows, bits, bits2, bits2b, bits3, dist3d = baked[:6]
     grid = {"scale": scale, "bits": bits, "bits2": bits2, "bits2b": bits2b,
             "bits3": bits3, "dist3d": dist3d}
     if mode == "trilinear":
+        grid["bits2t"] = baked[6]
         grid["rows"] = jax.jit(pack_cells_from_vertices, static_argnums=(1, 2))(
             vrows, R, n_casc
         )
@@ -294,6 +303,15 @@ def resolve_baked_knobs(cull=None, fine=None, cull_heads=None, fine_heads=None,
     # advance/retreat)
     adv = adv or os.environ.get("SIENERF_ADV", "dda")
     return cull, fine, cull_heads, fine_heads, adv
+
+
+def _cull_keep_trilinear(grid, meta, pos, valid):
+    """Trilinear-mode candidate cull: probe the 5^3-pooled half-res sidecar
+    (ops/baked.trilinear_live_bits — conservative over all 8 cell corners).
+    No run merging (trilinear samples vary continuously within a cell)."""
+    R, K = meta["resolution"], meta["n_cascades"]
+    flat2, oob2, _ = nearest_vertex_ids(R // 2, K, pos)
+    return valid & ~oob2 & lookup_bits_auto(grid["bits2t"], flat2)
 
 
 def _cull_keep(grid, meta, pos, valid, cull: str, cull_heads: int):
@@ -440,13 +458,21 @@ def _march_eval_once(engine, params, grid, meta, bitfield, o, d, t, t1, T, minT,
         overflow = jnp.zeros(ts.shape[:1], bool)
         t_next = t_end
     elif meta["mode"] != "nearest":
-        # trilinear interpolates all 8 cell corners: a nearest-vertex bit
-        # test would cull samples whose nearest corner is empty but whose
-        # far corners carry density (eroded surface fringes) — the quality
-        # mode takes the no-cull path instead
-        kept, ts_c, dts_c = valid, ts, dts
-        overflow = jnp.zeros(ts.shape[:1], bool)
-        t_next = t_end
+        if "bits2t" in grid:
+            # trilinear cull: the 5^3-pooled sidecar conservatively covers
+            # all 8 cell corners (a nearest-vertex 3^3 cover would cull
+            # samples whose far corners carry density); no run merging —
+            # trilinear samples vary continuously within a cell
+            keep = _cull_keep_trilinear(grid, meta, pos, valid)
+            kept, ts_c, dts_c = compact_candidates_auto(keep, evals + 1, ts, dts)
+            overflow = kept[:, evals]
+            t_next = jnp.where(overflow, ts_c[:, evals], t_end)
+            kept, ts_c, dts_c = kept[:, :evals], ts_c[:, :evals], dts_c[:, :evals]
+        else:
+            # legacy grids without the trilinear sidecar: no-cull fallback
+            kept, ts_c, dts_c = valid, ts, dts
+            overflow = jnp.zeros(ts.shape[:1], bool)
+            t_next = t_end
     else:
         keep, flat = _cull_keep(grid, meta, pos, valid, cull, cull_heads)
         R, K = meta["resolution"], meta["n_cascades"]

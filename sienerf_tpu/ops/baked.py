@@ -188,6 +188,32 @@ def coarse_live_bits_brick(live_flat: jnp.ndarray, resolution: int, n_cascades: 
     )
 
 
+def trilinear_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -> jnp.ndarray:
+    """Conservative half-resolution cull sidecar for TRILINEAR sampling:
+    (K*(R+1)^3,) live bools -> packed rows over the (K, R/2+1)^3 lattice.
+
+    A trilinear sample at u reads cell corners floor(u*R) + {0,1}^3; its
+    nearest half-res vertex c satisfies |u*R - 2c| <= 1, so the corners lie
+    in [2c-2, 2c+2]^3 — a 5^3-OR / stride-2 pool (one ring wider than the
+    nearest-mode cover, whose reads span only [2c-1, 2c+1]).  A sample
+    culled here has ALL 8 corners below the live-density threshold, the
+    same sub-threshold-skip approximation the nearest cull makes
+    (testbed_nerf.cu:2022-2145 marches the density bitfield the same way)."""
+    R = resolution
+    assert R % 2 == 0
+    Rv = R + 1
+    pooled = live_flat.reshape(n_cascades, Rv, Rv, Rv).astype(jnp.int8)
+    for axis in (1, 2, 3):
+        win, stride, pad = [1, 1, 1, 1], [1, 1, 1, 1], [(0, 0)] * 4
+        win[axis], stride[axis], pad[axis] = 5, 2, (2, 2)
+        pooled = jax.lax.reduce_window(
+            pooled, jnp.int8(0), jax.lax.max,
+            window_dimensions=tuple(win), window_strides=tuple(stride),
+            padding=tuple(pad),
+        )
+    return pack_bits(pooled.reshape(-1) > 0)
+
+
 def scout_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -> jnp.ndarray:
     """Quarter-resolution DILATED scout sidecar for the vectorized empty-space
     advance: (K*(R+1)^3,) live bools -> packed rows over (K, R/4+1)^3.

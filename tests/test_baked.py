@@ -678,3 +678,37 @@ def test_dist_advance_frame_matches_dda(trained_small):
     # same tolerance as those (skipping real content would fail the
     # conservativeness property test, not just this)
     assert psnr > 30.0, psnr
+
+
+def test_trilinear_cull_frame_matches_nocull(trained_small):
+    """The trilinear 5^3-pooled cull (ops/baked.trilinear_live_bits) only
+    skips samples whose 8 cell corners are ALL sub-threshold — the culled
+    frame must match the no-cull trilinear frame to compositing tolerance."""
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.ops.optim import inference_params
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+    grid, meta = eng.bake_features(
+        params, state["occ"], resolution=64, mode="trilinear"
+    )
+    assert "bits2t" in grid
+
+    cam = ds.xforms[0]
+    focal = tuple(np.asarray(ds.focal_lengths[0], np.float32))
+    kw = dict(
+        width=RES, height=RES, resolution=meta["resolution"], mode=meta["mode"],
+        n_cascades=meta["n_cascades"], tile=1 << 12, min_transmittance=1e-4,
+    )
+    nocull, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, candidates=32, evals=32, **kw
+    )
+    culled, _ = render_frame_baked(
+        eng, params, bitfield, grid, cam, focal, candidates=32, evals=12, **kw
+    )
+    nocull, culled = np.asarray(nocull), np.asarray(culled)
+    assert np.isfinite(culled).all()
+    mse = float(np.mean((nocull[..., :3] - culled[..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-10))
+    assert psnr > 35.0, psnr
