@@ -307,6 +307,36 @@ CONFIG_SETS = {
              env={"SIENERF_CULL": "brick", "SIENERF_FINE": "brick",
                   "SIENERF_FINE_HEADS": "12"}),
     ],
+    # v13: distance-field advance A/B at the brick/row winner, then chain-
+    # length retune under it (an accurate jump to the occupied boundary
+    # raises the cull keep-rate, so shorter chains may stop overpaying
+    # probes without costing rounds)
+    "v13": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dda"}),  # v12 winner ref
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # 4 jumps/round, 4-jump init
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=8,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # 2 jumps/round
+        dict(candidates=48, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),
+        dict(candidates=32, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),
+        dict(candidates=48, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "coarse", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),
+    ],
     # scout-vs-DDA per-round advance A/B at the brick/row winner
     "adv": [
         dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
@@ -348,7 +378,10 @@ def main():
     params = inference_params(state["opt"], state["params"])
     bitfield = state["occ"]["bitfield"]
     t0 = time.time()
-    grid, meta = eng.bake_features(params, state["occ"], resolution=R, mode="nearest")
+    grid, meta = eng.bake_features(
+        params, state["occ"], resolution=R,
+        mode=os.environ.get("BAKE_MODE", "nearest"),
+    )
     float(jnp.asarray(grid["rows"][0, 0]))
     bits_frac = float(jnp.mean(jnp.float32(jnp.unpackbits(
         jnp.asarray(np.frombuffer(np.asarray(grid["bits"]).tobytes(), np.uint8))))))
