@@ -90,6 +90,7 @@ def bake_feature_grid(
     chunk: int = 1 << 19,
     subset: int = 1 << 18,
     row_bits: int = 16,
+    bricks: bool | None = None,
 ):
     """Bake the density branch onto one (R+1)^3 vertex lattice PER occupancy
     cascade (cascade m = cube of side 2^m centered at 0.5, the occupancy
@@ -192,11 +193,16 @@ def bake_feature_grid(
     else:
         grid["rows"] = vrows
         # 256-byte brick rows for the chain-deduped fine gather
-        # (SIENERF_FINE=brick, the default): +~1x table memory, gathers
-        # at the same rows/s with ~2x fewer descriptors
-        grid["brows"] = jax.jit(pack_bricks_from_vertices, static_argnums=(1, 2))(
-            vrows, R, n_casc
-        )
+        # (SIENERF_FINE=brick): +~1x table memory, gathers at the same
+        # rows/s with ~2x fewer descriptors.  Skipped by default above
+        # R=256 (the duplicate table stops fitting next to the vertex one)
+        # or when bricks=False.
+        if bricks is None:
+            bricks = R <= 256
+        if bricks:
+            grid["brows"] = jax.jit(pack_bricks_from_vertices, static_argnums=(1, 2))(
+                vrows, R, n_casc
+            )
     return grid, {"resolution": R, "mode": mode, "n_cascades": n_casc}
 
 
