@@ -601,8 +601,17 @@ def pack_cells_from_vertices(vrows: jnp.ndarray, resolution: int, n_cascades: in
         return jnp.concatenate(outs, axis=-1)  # (n, 8*Ci)
 
     total = n_cascades * n_cells
-    n_chunks = -(-total // chunk)
-    ids_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
-    ids_all = jnp.minimum(ids_all, total - 1)
+    # pick a chunk that divides total exactly: the tail reshape is then a
+    # pure view instead of a second table-sized materialization (the copy
+    # is what OOMed the R=192 trilinear bake — table 5.4 GB, peak 2x)
+    c = min(chunk, total)
+    while total % c and c > chunk // 4:
+        c -= 1
+    if total % c:  # no near-sized divisor (not expected for even R)
+        c = 1 << (total.bit_length() // 2)
+        while total % c:
+            c >>= 1
+    n_chunks = total // c
+    ids_all = jnp.arange(total, dtype=jnp.int32).reshape(n_chunks, c)
     packed = jax.lax.map(cell_rows, ids_all)
-    return packed.reshape(-1, 8 * Ci)[:total]
+    return packed.reshape(-1, 8 * Ci)
