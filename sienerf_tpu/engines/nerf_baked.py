@@ -164,7 +164,7 @@ def bake_feature_grid(
             bits_casc.append(live.reshape(-1)[:n_vertices])
         live_all = jnp.concatenate(bits_casc)
         from sienerf_tpu.ops.baked import (
-            dist_live_cells,
+            dist_occupancy_cells,
             scout_live_bits,
             trilinear_live_bits,
         )
@@ -175,7 +175,9 @@ def bake_feature_grid(
             coarse_live_bits(live_all, R, n_casc),
             coarse_live_bits_brick(live_all, R, n_casc),
             scout_live_bits(live_all, R, n_casc),
-            dist_live_cells(live_all, R, n_casc),
+            # jump-advance field over the TRAINING grid (the set the DDA
+            # walks — the bake-live variant measured a 29->45-round loser)
+            dist_occupancy_cells(bitfield),
         )
         if mode == "trilinear":
             out = out + (trilinear_live_bits(live_all, R, n_casc),)
@@ -385,23 +387,26 @@ def _scout_advance(grid, meta, o, d, t, t1, n_scout: int):
 
 def _dist_jump(grid, meta, pos):
     """One batched distance-field probe: world positions -> safe advance
-    distance (world units).  Safety (ops/baked.dist_live_cells): D(cell) > 0
-    means every cell within Chebyshev D-1 is verified free of live nearest-
-    vertex reads, so a point may travel (D-1)*pitch in any direction; the
-    jump additionally clamps to the cascade cube's L_inf interior margin so
-    the segment never exits into a coarser cascade the field didn't see."""
+    distance (world units).  Safety (ops/baked.dist_occupancy_cells):
+    D(cell) > 0 means every cell within Chebyshev D-1 is verified
+    unoccupied, so a point may travel (D-1)*pitch in any direction without
+    crossing a cell the DDA would stop at; the jump additionally clamps to
+    the cascade cube's L_inf interior margin so the segment never exits
+    into a coarser cascade the field didn't see."""
     from sienerf_tpu.ops.bits import lookup_bytes
 
-    R, K = meta["resolution"], meta["n_cascades"]
-    R4 = R // 4
+    K = meta["n_cascades"]
+    # the field's grid size is encoded in the (static) packed-row count:
+    # rows = K * G^3 / 16
+    G = round((grid["dist3d"].shape[0] * 16 / K) ** (1.0 / 3.0))
     m = mip_from_pos(pos, K)
     ext = cascade_extent(m)
     u = (pos - 0.5) / ext[..., None] + 0.5
     inb = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
-    c3 = jnp.clip(jnp.floor(u * R4).astype(jnp.int32), 0, R4 - 1)
-    flat = m * (R4 * R4 * R4) + (c3[..., 0] * R4 + c3[..., 1]) * R4 + c3[..., 2]
+    c3 = jnp.clip(jnp.floor(u * G).astype(jnp.int32), 0, G - 1)
+    flat = m * (G * G * G) + (c3[..., 0] * G + c3[..., 1]) * G + c3[..., 2]
     D = lookup_bytes(grid["dist3d"], flat)
-    pitch = ext / R4
+    pitch = ext / G
     rem = ext * 0.5 - jnp.max(jnp.abs(pos - 0.5), axis=-1)  # room inside cube m
     jump = jnp.minimum(
         jnp.maximum(D - 1, 0).astype(jnp.float32) * pitch, jnp.maximum(rem, 0.0)

@@ -295,15 +295,27 @@ def dist_live_cells(
             window_dimensions=tuple(win), window_strides=tuple(stride),
             padding=((0, 0),) * 4,
         )  # (K, R4, R4, R4): cell c covers fine vertices [4c, 4c+4]
-    blocking = pooled > 0
+    return _chamfer_pack(pooled > 0, max_dist)
+
+
+def _chamfer_pack(blocking: jnp.ndarray, max_dist: int) -> jnp.ndarray:
+    """(K, G, G, G) bool blocking cells -> byte-packed Chebyshev distances.
+
+    Cascade-combines first (each cascade OR-includes the previous one,
+    max-pool-downsampled 2x into the central half — segments that cross
+    into the inner cube stay covered), then runs max_dist-1 rounds of
+    separable 3-tap min-pool (exact distances up to the clamp)."""
+    from sienerf_tpu.ops.bits import pack_bytes
+
+    n_cascades, G = blocking.shape[0], blocking.shape[1]
     blk = [blocking[k] for k in range(n_cascades)]
     for m_i in range(1, n_cascades):
         sub = jax.lax.reduce_window(
             blk[m_i - 1].astype(jnp.int8), jnp.int8(0), jax.lax.max,
             window_dimensions=(2, 2, 2), window_strides=(2, 2, 2),
             padding=((0, 0),) * 3,
-        ) > 0  # (R4/2,)^3 — cascade m-1's cube is the central half of m's
-        s, w = R4 // 4, R4 // 2
+        ) > 0  # (G/2,)^3 — cascade m-1's cube is the central half of m's
+        s, w = G // 4, G // 2
         blk[m_i] = blk[m_i].at[s:s + w, s:s + w, s:s + w].set(
             blk[m_i][s:s + w, s:s + w, s:s + w] | sub
         )
@@ -320,6 +332,23 @@ def dist_live_cells(
             )
         D = jnp.minimum(D, M + 1)
     return pack_bytes(D.reshape(-1))
+
+
+def dist_occupancy_cells(bitfield: jnp.ndarray, max_dist: int = 31) -> jnp.ndarray:
+    """Chebyshev distance-to-occupied over the TRAINING occupancy grid:
+    (K, G, G, G) bool -> byte-packed rows of D in [0, max_dist].
+
+    This is the distance field the jump advance actually wants: the serial
+    DDA (advance_to_occupied) walks THIS grid, whose occupied fraction is
+    ~31% after carving — far sparser than the bake-live vertex set (whose
+    5-tap pooled cover measured ~everywhere-blocking on the fox field:
+    ADV=dist on dist_live_cells was a 29->45-round loser, NOTES_ROUND3).
+    A jump of (D-1) cells is exactly as conservative as the DDA: every
+    cell within Chebyshev D-1 is unoccupied, so no occupied cell the DDA
+    would stop at is ever crossed.  Spec: the reference's
+    if_unoccupied_advance_to_next_occupied_voxel walks the same bitfield
+    (/root/reference/src/nerf_device.cuh:424-494)."""
+    return _chamfer_pack(bitfield, max_dist)
 
 
 def cull_candidates(

@@ -712,3 +712,46 @@ def test_trilinear_cull_frame_matches_nocull(trained_small):
     mse = float(np.mean((nocull[..., :3] - culled[..., :3]) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-10))
     assert psnr > 35.0, psnr
+
+
+def test_dist_occupancy_advance_conservative():
+    """The shipped jump field (dist3d = dist_occupancy_cells over the
+    TRAINING bitfield) must never jump across an occupied training cell —
+    the exact contract the serial DDA provides."""
+    from sienerf_tpu.engines.nerf_baked import _dist_advance
+    from sienerf_tpu.ops.baked import cascade_extent, dist_occupancy_cells
+    from sienerf_tpu.ops.occupancy import mip_from_pos
+
+    G, K = 32, 2
+    rng = np.random.default_rng(13)
+    occ = jnp.asarray(rng.random((K, G, G, G)) < 0.03)
+    grid = {"dist3d": dist_occupancy_cells(occ, max_dist=15)}
+    meta = {"resolution": 999, "n_cascades": K}  # resolution unused by dist
+
+    A = 96
+    o = jnp.asarray(rng.uniform(-0.6, 1.6, (A, 3)), jnp.float32)
+    d = rng.normal(size=(A, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.0, 0.3, (A,)), jnp.float32)
+    t1 = t + 2.0
+    t_new = np.asarray(_dist_advance(grid, meta, o, d, t, t1, 4))
+    assert np.all(t_new >= np.asarray(t) - 1e-6)
+    assert np.any(t_new > np.asarray(t) + 1e-4)
+
+    # oracle: positions strictly inside the skipped span must lie in
+    # unoccupied training cells (at their own cascade)
+    M = 1024
+    fr = np.linspace(0.0, 1.0, M, endpoint=False)[None, :]
+    ts = np.asarray(t)[:, None] + fr * np.maximum(t_new - np.asarray(t), 0.0)[:, None]
+    pos = np.asarray(o)[:, None, :] + ts[..., None] * np.asarray(d)[:, None, :]
+    m = np.asarray(mip_from_pos(jnp.asarray(pos, jnp.float32), K))
+    ext = 2.0 ** m
+    u = (pos - 0.5) / ext[..., None] + 0.5
+    inb = np.all((u >= 0) & (u < 1), axis=-1)
+    c3 = np.clip(np.floor(u * G).astype(int), 0, G - 1)
+    occ_np = np.asarray(occ)
+    hit = occ_np[m, c3[..., 0], c3[..., 1], c3[..., 2]] & inb
+    skipped = (ts < t_new[:, None] - 1e-6) & (ts > np.asarray(t)[:, None] + 1e-6)
+    assert not np.any(hit & skipped), (
+        f"occupancy jump crossed {int(np.sum(hit & skipped))} occupied cells"
+    )
