@@ -35,15 +35,22 @@ from sienerf_tpu.ops.hashgrid import (  # noqa: E402
 REPS = int(os.environ.get("REPS", "8"))
 
 
+def _sync(out):
+    """block_until_ready is NOT a reliable wait on the axon tunnel — force a
+    real device->host fetch of one element from every output leaf."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jax.lax.slice(leaf.reshape(-1), (0,), (1,)))
+
+
 def timeit(name, fn, variants):
     """variants: list of arg-tuples, one per rep (distinct objects so the
-    same-args result cache can't fire)."""
+    same-args result cache can't fire; fetch-synced — see _sync)."""
     out = fn(*variants[0])
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _sync(out)
     t0 = time.time()
-    for v in variants[1:]:
-        out = fn(*v)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    outs = [fn(*v) for v in variants[1:]]
+    for o in outs:  # device stream executes in dispatch order; the fetches
+        _sync(o)    # pay one tunnel RTT total once the stream has drained
     dt = (time.time() - t0) / (len(variants) - 1) * 1e3
     print(f"{name:10s} {dt:8.2f} ms")
     return dt
