@@ -63,12 +63,12 @@ def main():
          "log2_hashmap_size": 19, "base_resolution": 16,
          "per_level_scale": 1.5}, aabb_scale=4.0,
     )
-    tables = [
-        jax.random.uniform(jax.random.PRNGKey(100 + r),
-                           (cfg.n_levels, cfg.table_size, 8, 2),
-                           minval=-1e-4, maxval=1e-4)
-        for r in range(REPS)
-    ]
+    # ONE table (a fresh table per rep tile-pads (…,8,2)->(…,8,128) when
+    # copied: 64x = 17 GB OOM); varying pos/g per rep is enough to defeat
+    # the same-args result cache
+    from sienerf_tpu.ops.hashgrid import init_hashgrid_params
+
+    tables = [init_hashgrid_params(jax.random.PRNGKey(0), cfg)] * REPS
     poss = [jax.random.uniform(jax.random.PRNGKey(r), (N, 3)) for r in range(REPS)]
     L, F = cfg.n_levels, cfg.n_features_per_level
     C = 1 << cfg.n_dims
