@@ -337,6 +337,39 @@ CONFIG_SETS = {
              env={"SIENERF_CULL": "coarse", "SIENERF_FINE": "row",
                   "SIENERF_ADV": "dist"}),
     ],
+    # v14: retune around the v13 winner (P=64/ev=16/ss=4/ADV=dist 992 ms —
+    # training-grid chamfer jumps): jump depth, init depth, flush grouping
+    # and eval window re-checks under the new cost balance
+    "v14": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # v13 winner ref
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=24,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # 6 jumps/round
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # 8 jumps + deep init
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=96,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # 12 init jumps only
+        dict(candidates=64, evals=20, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # wider eval window
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32, flush_every=2,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),
+        dict(candidates=96, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=32,
+             env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
+                  "SIENERF_ADV": "dist"}),  # longer chains: fewer rounds?
+    ],
     # scout-vs-DDA per-round advance A/B at the brick/row winner
     "adv": [
         dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
