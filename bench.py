@@ -162,8 +162,11 @@ def main():
     # BENCH_GATE=cross30 restores the old gate for comparison.
     BASE = dict(candidates=64, evals=16, step_scale=4.0,
                 advance_iters=16, init_advance_iters=32)
+    # v14 winner: 8 distance jumps/round + deep jump init (953.8 ms /
+    # 0.97 Mrays/s vs 1257 for the DDA tune — NOTES_ROUND3 fifth window)
     CONFIGS = [
-        ("brick-row-dist", dict(BASE, cull="brick", fine="row", adv="dist")),
+        ("brick-row-dist", dict(BASE, cull="brick", fine="row", adv="dist",
+                                advance_iters=32, init_advance_iters=64)),
         ("brick-row", dict(BASE, cull="brick", fine="row")),
         ("coarse-row", dict(BASE, cull="coarse", fine="row")),
     ]
