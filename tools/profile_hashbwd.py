@@ -63,12 +63,6 @@ def main():
          "log2_hashmap_size": 19, "base_resolution": 16,
          "per_level_scale": 1.5}, aabb_scale=4.0,
     )
-    # ONE table (a fresh table per rep tile-pads (…,8,2)->(…,8,128) when
-    # copied: 64x = 17 GB OOM); varying pos/g per rep is enough to defeat
-    # the same-args result cache
-    from sienerf_tpu.ops.hashgrid import init_hashgrid_params
-
-    tables = [init_hashgrid_params(jax.random.PRNGKey(0), cfg)] * REPS
     poss = [jax.random.uniform(jax.random.PRNGKey(r), (N, 3)) for r in range(REPS)]
     L, F = cfg.n_levels, cfg.n_features_per_level
     C = 1 << cfg.n_dims
@@ -77,16 +71,11 @@ def main():
     gs = [jax.random.normal(jax.random.PRNGKey(200 + r), (N, L * F)) for r in range(REPS)]
     print(f"# N={N} L={L} F={F} C={C} T={T} Fp={Fp} layout={cfg.layout} reps={REPS}")
 
-    fwd = jax.jit(lambda t, p: hashgrid_encode(cfg, t, p))
-    timeit("fwd", fwd, [(tables[r], poss[r]) for r in range(REPS)])
-
-    def vjp_full(t, p, gg):
-        out, pull = jax.vjp(lambda tt: hashgrid_encode(cfg, tt, p), t)
-        return pull(gg)[0]
-
-    timeit("vjp", jax.jit(vjp_full),
-           [(tables[r], poss[r], gs[r]) for r in range(REPS)])
-
+    # NOTE: no fwd/vjp rows — passing the (L,T,C,F) table as a top-level jit
+    # input provokes a T(8,128) tile-padded layout copy (64x -> 17 GB OOM on
+    # this stack; training avoids it because the table lives inside one big
+    # jit).  The backward's cost is entirely in the table-FREE stages below
+    # (the fwd is known ~77 ms from the r2 train profile).
     geom = jax.jit(lambda p: _geometry_cell(cfg, p)[:2])
     timeit("geometry", geom, [(poss[r],) for r in range(REPS)])
 
