@@ -361,8 +361,9 @@ def _scout_advance(grid, meta, o, d, t, t1, n_scout: int):
     probe+update steps SERIALIZE (~0.4 ms of latency each on the tunnel);
     the scout walk is one batched (A, S) probe.  Safety: h is one mip-0
     quarter-cell pitch — conservative for every cascade — and the sidecar's
-    7^3 dilation covers nearest-vertex reads plus corner-cut margin, so no
-    candidate the cull would keep is ever skipped."""
+    13-tap/stride-4 dilated pool (±1 quarter-cell around each cell's
+    [4c, 4c+4] vertex span) covers nearest-vertex reads plus corner-cut
+    margin, so no candidate the cull would keep is ever skipped."""
     R, K = meta["resolution"], meta["n_cascades"]
     R4 = R // 4
     h = 4.0 / R  # one mip-0 quarter-cell pitch: conservative for every
@@ -392,7 +393,17 @@ def _dist_jump(grid, meta, pos):
     unoccupied, so a point may travel (D-1)*pitch in any direction without
     crossing a cell the DDA would stop at; the jump additionally clamps to
     the cascade cube's L_inf interior margin so the segment never exits
-    into a coarser cascade the field didn't see."""
+    into a coarser cascade the field didn't see.
+
+    ACCEPTED APPROXIMATION (ADVICE r3): the serial DDA it replaces stops on
+    cells occupied at max(mip_from_pos, mip_from_dt); this field covers
+    occupancy at mip_from_pos only, so with cone stepping at large t a jump
+    can cross a cell occupied only at the dt-selected coarser mip and the
+    sampling can differ slightly from the DDA's.  The divergence is bounded
+    by the bench quality gate (novel-view GT parity) and the 30 dB
+    frame-match test; oring coarser cascades down into finer blocking sets
+    was measured a round-count loser (it re-creates the everywhere-blocking
+    problem dist_live_cells had — ops/baked.py)."""
     from sienerf_tpu.ops.bits import lookup_bytes
 
     K = meta["n_cascades"]

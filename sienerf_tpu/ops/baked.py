@@ -216,7 +216,7 @@ def trilinear_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int
 
 def scout_live_bits(live_flat: jnp.ndarray, resolution: int, n_cascades: int) -> jnp.ndarray:
     """Quarter-resolution DILATED scout sidecar for the vectorized empty-space
-    advance: (K*(R+1)^3,) live bools -> packed rows over (K, R/4+1)^3.
+    advance: (K*(R+1)^3,) live bools -> packed rows over (K, R/4)^3 cells.
 
     Cell-based cover over (K, R/4, R/4, R/4): quarter-cell c (fine span
     [4c, 4c+4)) is marked live iff any position INSIDE it or its 26
@@ -258,12 +258,13 @@ def dist_live_cells(
     Semantics: quarter-cell c is BLOCKING (D=0) iff some position inside it
     reads a live fine vertex — positions in c read nearest vertices
     [4c, 4c+4], a 5-tap / stride-4 max-pool (no probe-spacing margin: the
-    jump bound below comes from cell geometry, not sampling).  D(c) = 1 +
-    Chebyshev cell distance to the nearest blocking cell, clamped to
-    max_dist, with D(blocking) = 0 — so every cell within Chebyshev D-1 of
-    c is verified non-blocking and a point in c may advance (D-1)*pitch in
-    ANY direction without its samples ever reading live density (travel t
-    changes the cell index by at most ceil(t/pitch) per axis).
+    jump bound below comes from cell geometry, not sampling).  D(c) is the
+    Chebyshev cell distance to the nearest blocking cell (D(blocking) = 0,
+    neighbors of blocking = 1, ...), clamped to max_dist — so every cell
+    within Chebyshev D-1 of c is verified non-blocking and a point in c may
+    advance (D-1)*pitch in ANY direction without its samples ever reading
+    live density (travel t changes the cell index by at most ceil(t/pitch)
+    per axis).
 
     Cascade crossing: while marching in cascade m, the segment may enter the
     inner cube where samples read cascade m-1 — so each cascade's blocking

@@ -38,6 +38,16 @@ import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861, 3674653429)
 
+# A/B knob for the backward scatter design, resolved ONCE at import in
+# non-traced Python (ADVICE r3: reading os.environ inside the traced
+# _encode_bwd_impl froze the first-seen value into the jit cache — flipping
+# it mid-process silently did nothing, the exact renderer-knob failure mode
+# resolve_baked_knobs documents).  "perlevel" is the measured winner
+# (campaign3: batched = +450.7 ms grad vs 233.4 per-level @2^18).
+import os as _os
+
+HASH_BWD_MODE = _os.environ.get("SIENERF_HASH_BWD", "perlevel")
+
 
 @dataclass(frozen=True)
 class HashGridConfig:
@@ -332,15 +342,13 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
     N = pos.shape[0]
     T = config.table_size
 
-    import os
-
     gl = g.reshape(N, L, F)
     if config.layout == "cell":
         idx, w, per_dim, offs, scales = _geometry_cell(config, pos)
         Fp = _pad_features(C, F)
         glp = jnp.pad(gl, ((0, 0), (0, 0), (0, Fp - F)))  # (N,L,Fp)
         tp = _pad_cell_table(config, table)
-        if os.environ.get("SIENERF_HASH_BWD", "perlevel") == "batched":
+        if HASH_BWD_MODE == "batched":
             # ONE batched sort + ONE flat segment_sum instead of L
             # sequential (argsort, scatter) pairs.  MEASURED LOSER on the
             # real chip (campaign3: +grad 450.7 ms vs per-level 233.4 at
@@ -364,6 +372,37 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
                 num_segments=L * T, indices_are_sorted=True,
             )
             d_table = d_flat.reshape(L, T, C, Fp)[..., :F]
+        elif HASH_BWD_MODE == "skip":
+            # attribution probe: zero table gradient (training would diverge;
+            # measurement-only — full-step time with this mode isolates the
+            # scatter-add's share of the grad wall)
+            d_table = jnp.zeros((L, T, C, F), jnp.float32)
+        elif HASH_BWD_MODE == "nosort":
+            # plain unsorted scatter-add (the historically-serialized XLA
+            # path; kept as an A/B probe of the current compiler)
+            d_levels = []
+            for l in range(L):
+                contrib = (w[:, l, :, None] * glp[:, l, None, :]).reshape(N, C * Fp)
+                d_l = jax.ops.segment_sum(contrib, idx[:, l], num_segments=T)
+                d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
+            d_table = jnp.stack(d_levels, axis=0)
+        elif HASH_BWD_MODE == "postsort":
+            # reorder the SMALL per-sample payload (w: C floats, glp: Fp)
+            # instead of the C*Fp contribution rows — 32 -> 12 floats of
+            # gather traffic per sample; the outer product then runs on
+            # sorted data and fuses into the scatter's update computation
+            d_levels = []
+            for l in range(L):
+                order = jnp.argsort(idx[:, l])
+                sidx = jnp.take(idx[:, l], order)
+                sw = jnp.take(w[:, l], order, axis=0)          # (N, C)
+                sg = jnp.take(glp[:, l], order, axis=0)        # (N, Fp)
+                contrib = (sw[:, :, None] * sg[:, None, :]).reshape(N, C * Fp)
+                d_l = jax.ops.segment_sum(
+                    contrib, sidx, num_segments=T, indices_are_sorted=True
+                )
+                d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
+            d_table = jnp.stack(d_levels, axis=0)
         else:
             d_levels = []
             for l in range(L):

@@ -175,7 +175,6 @@ def marching_cubes(grid: np.ndarray, iso: float, aabb_min, aabb_diag):
         m = flat == le
         if not m.any():
             continue
-        rows = m.any(axis=1)
         ids_l = edge_ids[axis][az + dz, ay + dy, ax + dx]
         sel = np.broadcast_to(ids_l[:, None], flat.shape)
         gids[m] = sel[m]

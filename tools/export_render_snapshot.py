@@ -75,6 +75,12 @@ def main():
         "phase": blob.get("phase", "fast"),
         "mean_samples": blob.get("mean_samples") or 0.0,
     }
+    # training image list (ADVICE r3): the bench quality gate filters its
+    # "held-out" views against the set the field actually trained on; the
+    # bench protocol (fox ds4, first 24 images) is the fallback when an old
+    # cache predates the recording
+    if blob.get("train_paths"):
+        meta["train_paths"] = list(blob["train_paths"])
     if quant == "fp8":
         grid = params.pop("grid")
         q, scale = quantize_grid_fp8(grid)

@@ -62,11 +62,23 @@ def main():
         # atomic write: a killed run must not leave a truncated cache that
         # poisons later consumers (bench.py falls back, but don't rely on it)
         tmp = CACHE / (cache_out + ".tmp")
+        # record the exact training image set (ADVICE r3: the bench gate
+        # filters held-out views against it instead of assuming the
+        # first-24 protocol)
+        from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+
+        train_names = [
+            Path(p).name
+            for p in load_nerf_dataset(
+                "/root/reference/data/nerf/fox", downscale=4, max_images=24
+            ).paths
+        ]
         with open(tmp, "wb") as fh:
             pickle.dump(
                 {"state": jax.tree.map(np.asarray, state),
                  "phase": getattr(eng, "_phase", "fast"),
-                 "mean_samples": getattr(eng, "_mean_samples", None)},
+                 "mean_samples": getattr(eng, "_mean_samples", None),
+                 "train_paths": train_names},
                 fh,
             )
         tmp.replace(CACHE / cache_out)
