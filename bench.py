@@ -75,31 +75,15 @@ def main():
         # committed render-only snapshot (tools/export_render_snapshot.py):
         # EMA-resolved inference params in fp16, no optimizer moments —
         # fresh boxes bench the converged field without retraining it
-        from sienerf_tpu.io.snapshot import load_snapshot
+        from sienerf_tpu.io.snapshot import load_render_snapshot
 
-        payload = load_snapshot(snap)
-        rs = payload["state"]
-        snap_train_paths = payload["meta"].get("train_paths")
-        raw = dict(rs["params"])
-        if payload["meta"].get("kind") == "render_only_fp8":
-            from tools.export_render_snapshot import dequantize_grid_fp8
-
-            raw["grid"] = dequantize_grid_fp8(
-                raw.pop("grid_fp8"), raw.pop("grid_fp8_scale"),
-                payload["meta"]["grid_shape"],
-            )
-        params = jax.tree.map(
-            lambda x: jnp.asarray(
-                x, jnp.float32 if np.asarray(x).dtype == np.float16 else None
-            ),
-            raw,
-        )
-        bf = jnp.asarray(rs["occ"]["bitfield"])
+        params, bf, smeta = load_render_snapshot(snap)
+        snap_train_paths = smeta.get("train_paths")
         state = {"occ": {"bitfield": bf}}
-        eng._phase = payload["meta"].get("phase", "fast")
-        if payload["meta"].get("mean_samples"):
-            eng._mean_samples = float(payload["meta"]["mean_samples"])
-        n_steps = int(np.asarray(rs["step"]))
+        eng._phase = smeta.get("phase", "fast")
+        if smeta.get("mean_samples"):
+            eng._mean_samples = float(smeta["mean_samples"])
+        n_steps = smeta["step"]
         print(f"# loaded committed render snapshot at step {n_steps}", file=sys.stderr)
     if params is None:
         state = eng.init(0)

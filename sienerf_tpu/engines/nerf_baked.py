@@ -545,7 +545,7 @@ def render_rays_baked(
     P: int = 128, evals: int = 32, step_scale: float = 1.0,
     max_rounds: int = 24, adv_iters: int = 16, min_transmittance=None,
     near=None, t_cap=None, cull=None, fine=None, cull_heads=None,
-    fine_heads=None,
+    fine_heads=None, adv=None, init_advance_iters: int = 0,
 ):
     """Fixed ray batch through the baked field -> (rgb (N,3), opacity (N,),
     depth (N,)).  The masked-loop sibling of render_frame_baked (no pixel
@@ -558,11 +558,16 @@ def render_rays_baked(
     integral is FOV-independent) and the returned depth is z-depth
     (t / |d|).  `t_cap` (per-ray, in z-depth units of the unnormalized
     dirs, like NerfEngine.render_rays) bounds the march — the hybrid
-    geometry pass stops at mesh surfaces with it."""
+    geometry pass stops at mesh surfaces with it.
+
+    `init_advance_iters` > 0 applies the SAME one-off frame-init
+    advance+retreat as _render_frame_baked_impl (VERDICT r3 next #6: the
+    multichip frame path passes the single-chip default so the sharded
+    baked frame is pixel-equal to the single-chip one, not merely close)."""
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
     from sienerf_tpu.ops.occupancy import occupied_bbox, ray_box_times
 
-    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads)
+    knobs = resolve_baked_knobs(cull, fine, cull_heads, fine_heads, adv)
     if near is None:
         near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
     minT = jnp.asarray(
@@ -582,6 +587,14 @@ def render_rays_baked(
     if t_cap is not None:
         t1 = jnp.minimum(t1, t_cap * dn[:, 0])
     t1 = jnp.maximum(t1, t0)
+    ia = init_advance_iters
+    adv_mode = knobs[4] if len(knobs) > 4 else "dda"
+    if ia > 0 and adv_mode == "dist" and "dist3d" in grid:
+        t0 = _dist_advance(grid, meta, o, d, t0, t1, max(3, ia // 8))
+        t1 = _dist_retreat(grid, meta, o, d, t0, t1, max(3, ia // 8))
+    elif ia > 0:
+        t0 = advance_to_occupied(engine.march, bitfield, o, d, t0, t1, ia)
+        t1 = retreat_to_occupied(engine.march, bitfield, o, d, t0, t1, ia)
     A = o.shape[0]
     state = dict(
         t=t0, T=jnp.ones((A,), jnp.float32), rgb=jnp.zeros((A, 3), jnp.float32),
@@ -835,7 +848,7 @@ def render_frame_baked_multichip(
     tile: int = 1 << 13, candidates: int = 128, evals: int = 32,
     step_scale: float = 1.0, background=(0.0, 0.0, 0.0),
     screen_center=(0.5, 0.5), min_transmittance=None,
-    cull=None, fine=None,
+    cull=None, fine=None, adv=None, init_advance_iters: int = 32,
 ):
     """Baked frame render with rays sharded over the `rays` mesh axis;
     params, occupancy bitfield AND the baked grid replicated (the grid is
@@ -860,7 +873,10 @@ def render_frame_baked_multichip(
         return render_rays_baked(
             engine, p, g, meta, bf, oo, dd, P=candidates, evals=evals,
             step_scale=step_scale, min_transmittance=min_transmittance,
-            cull=cull, fine=fine,
+            cull=cull, fine=fine, adv=adv,
+            # single-chip frame-init default: pixel-equality with
+            # _render_frame_baked_impl needs the same entry-advance policy
+            init_advance_iters=init_advance_iters,
         )
 
     from sienerf_tpu.engines.nerf import NerfEngine

@@ -91,3 +91,33 @@ def load_snapshot(path: str | Path) -> dict:
             payload["state"]["occ"]["density"], np.float32
         )
     return payload
+
+
+def load_render_snapshot(path: str | Path):
+    """Load a render-only snapshot (tools/export_render_snapshot.py) into
+    device-ready (params, bitfield, meta).
+
+    Handles the committable fp8 variant (per-level absmax e4m3 hash table)
+    by dequantizing to fp32, and widens fp16 leaves back to fp32.  This is
+    the shared fresh-box entry point for bench.py, the irradiance demo, and
+    the orbit viewer — one loader, one semantics."""
+    payload = load_snapshot(path)
+    rs = payload["state"]
+    raw = dict(rs["params"])
+    meta = dict(payload["meta"])
+    if meta.get("kind") == "render_only_fp8":
+        import ml_dtypes
+
+        q = np.asarray(raw.pop("grid_fp8"))
+        scale = np.asarray(raw.pop("grid_fp8_scale"))
+        flat = q.view(ml_dtypes.float8_e4m3fn).astype(np.float32)
+        raw["grid"] = (flat * scale[:, None]).reshape(meta["grid_shape"])
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            x, jnp.float32 if np.asarray(x).dtype == np.float16 else None
+        ),
+        raw,
+    )
+    bitfield = jnp.asarray(rs["occ"]["bitfield"])
+    meta["step"] = int(np.asarray(rs["step"]))
+    return params, bitfield, meta

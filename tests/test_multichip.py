@@ -191,12 +191,11 @@ def test_sharded_baked_render_matches_single_chip(setup):
     )
     a, b = np.asarray(single), np.asarray(multi)
     assert np.isfinite(b).all()
-    # same field, same chain: sharding must not change the image materially.
-    # Entry t0 differs (frame path DDA-advances + retreats, multichip enters
-    # at the occupied bbox), which phase-shifts the candidate chain and so
-    # the nearest-vertex picks — a ~37 dB effect, not a sharding error.
-    mse = float(np.mean((a[..., :3] - b[..., :3]) ** 2))
-    assert mse < 1e-3, mse
+    # same field, same chain, and (since r4) the SAME entry-advance policy:
+    # render_rays_baked applies the single-chip frame-init advance+retreat
+    # when init_advance_iters is passed, so the sharded baked frame is
+    # pixel-equal, matching the live sharded render's bar (VERDICT r3 #6)
+    assert np.allclose(a, b, atol=1e-4), float(np.abs(a - b).max())
 
 
 @pytest.mark.slow

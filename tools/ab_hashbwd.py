@@ -6,9 +6,10 @@ the loop; (b) every device->host fetch pays a ~25-30 ms tunnel RTT — the
 whole measurement is ONE jit with a fori_loop and ONE scalar output
 (tools/profile_hashbwd.py's per-stage numbers were RTT artifacts).
 
-The table is passed FLAT (1-D) and reshaped inside the jit: a (L,T,C,F)
-boundary array provokes the T(8,128) tile-padded layout copy (64x -> OOM,
-NOTES_ROUND3 gotcha).
+The table is created as a JIT OUTPUT in its training shape (L,T,C,F):
+boundary layout negotiation then picks the packed layout, whereas an
+in-jit reshape from flat materializes the T(8,128) tile-padded form
+(34 GB OOM, measured — NOTES_ROUND4).
 
 Usage: SIENERF_HASH_BWD=<mode> python tools/ab_hashbwd.py [N] [ITERS]
 """
@@ -41,12 +42,16 @@ def main():
     )
     L, F, C, T = cfg.n_levels, cfg.n_features_per_level, 1 << cfg.n_dims, cfg.table_size
     print(f"# mode={HASH_BWD_MODE} N={N} iters={iters} L={L} T={T}")
-    table_flat = jax.random.uniform(
-        jax.random.PRNGKey(0), (L * T * C * F,), jnp.float32, -1e-4, 1e-4
-    )
+    # the table must be BORN as a jit output in its training shape: an
+    # in-jit reshape from flat materializes the T(8,128) tile-padded form
+    # (f32[16,524288,8,2]{T(8,128)} = 34 GB, measured OOM on this stack);
+    # jit-boundary layout negotiation picks the sane packed layout instead
+    table = jax.jit(
+        lambda k: jax.random.uniform(k, (L, T, C, F), jnp.float32, -1e-4, 1e-4)
+    )(jax.random.PRNGKey(0))
 
     def shaped(tf):
-        return tf.reshape(L, T, C, F)
+        return tf
 
     @jax.jit
     def run_fwd(tf, key):
@@ -77,10 +82,10 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     for name, fn in (("fwd", run_fwd), ("fwd+bwd", run_bwd)):
-        out = fn(table_flat, jax.random.PRNGKey(1))
+        out = fn(table, jax.random.PRNGKey(1))
         float(out)  # compile+warm
         t0 = time.time()
-        out = fn(table_flat, jax.random.PRNGKey(2))
+        out = fn(table, jax.random.PRNGKey(2))
         float(out)
         dt = (time.time() - t0) / iters * 1e3
         print(f"{name:8s} {dt:8.2f} ms/iter")
