@@ -738,7 +738,11 @@ class NerfEngine:
         self._update_phase(float(cnt), k)
         return state, loss, cnt
 
-    @partial(jax.jit, static_argnums=(0, 4, 5, 6), donate_argnums=1)
+    # NO donation: donating `state` makes XLA schedule the bf16 hash
+    # backward pathologically (832 vs 160 ms/step measured,
+    # tools/probe_bundle_bf16b.py — NOTES_ROUND4).  Peak memory without it
+    # is 2x the ~2 GB state, well inside HBM.
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6))
     def _train_bundle_jit(self, state, key, data, n_rays, k, iters):
         return self._bundle_body(state, data, key, n_rays=n_rays, k=k, iters=iters)
 

@@ -1,0 +1,213 @@
+"""Slab-sweep (shear-warp) frame renderer over the baked feature grid.
+
+The gather-free sibling of engines/nerf_baked.py (rationale + math:
+ops/sweep.py).  Per frame:
+
+1. `prepare_rgba_volume` — dense per-vertex shading pass: dequantize the
+   baked int16 rows (streamed slab-by-slab, no gathers), run the color MLP
+   once per vertex with the vertex's own to-camera direction (EXACT for
+   primary rays: the viewing direction at a 3D point is
+   normalize(p - cam_origin) for every pixel whose ray passes through it),
+   and store a premultiplied (sigma*rgb, sigma) bf16 volume.  One big MXU
+   pass — the per-candidate color MLP of the gather renderer disappears.
+2. Orient the volume so the sweep axis (dominant camera axis, chosen on
+   host) is slab-major ascending, sweep-composite all cascade slabs front
+   to back (ops/sweep.sweep_composite), and projectively warp the
+   intermediate image onto the output pixels.
+
+Live-path spec being reproduced: render_nerf ray init/epilogue
+(/root/reference/src/testbed_nerf.cu:1428-1558) and the same volume
+integral as NerfTracer::trace (:2022-2145) on uniform pitch-1 steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sienerf_tpu.models.nerf_network import (
+    apply_density_activation,
+    apply_rgb_activation,
+)
+from sienerf_tpu.ops.baked import _decode_rows, row_bits
+from sienerf_tpu.ops.encodings import sh_encode
+from sienerf_tpu.ops.mlp import mlp_apply
+from sienerf_tpu.ops.sweep import (
+    canon_coords,
+    orient_grid,
+    sweep_composite,
+    warp_to_pixels,
+)
+
+E_MAX = 16.0  # gnomonic clamp: rays >86 deg off-axis fall back to bg
+
+
+def prepare_rgba_volume(engine, params, rows, scale, cam_origin,
+                        resolution: int, n_cascades: int):
+    """(K*(R+1)^3, F/2) baked rows -> (K, R+1, R+1, R+1, 4) bf16
+    premultiplied [s*r, s*g, s*b, s] volume, shaded for `cam_origin`.
+
+    Streams the table in layout order (one (R+1)^2 plane per scan step):
+    zero gathers, one dense MLP pass over every vertex."""
+    R, K = resolution, n_cascades
+    Rv = R + 1
+    bits = row_bits(rows)
+    planes = rows.reshape(K * Rv, Rv * Rv, rows.shape[-1])
+    casc = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Rv)
+    iplane = jnp.tile(jnp.arange(Rv, dtype=jnp.int32), K)
+    extra = None
+    if engine.net.n_extra_dims:
+        extra = engine._render_extra(params)
+        if extra is None:
+            extra = jnp.zeros((engine.net.n_extra_dims,), jnp.float32)
+
+    jj = (jnp.arange(Rv * Rv, dtype=jnp.int32) // Rv).astype(jnp.float32)
+    kk = (jnp.arange(Rv * Rv, dtype=jnp.int32) % Rv).astype(jnp.float32)
+
+    def one_plane(carry, xs):
+        plane, m, i = xs
+        side = jnp.exp2(m.astype(jnp.float32))
+        lo = 0.5 - 0.5 * side
+        pos = jnp.stack(
+            [jnp.full_like(jj, i.astype(jnp.float32)), jj, kk], axis=-1
+        ) / R * side + lo  # (Rv^2, 3)
+        sc = jnp.zeros((scale.shape[-1],), jnp.float32)
+        for k in range(K):
+            sc = jnp.where(m == k, scale[k], sc)
+        raw, sent = _decode_rows(plane, sc, bits)
+        dens = jnp.where(
+            sent, 0.0, apply_density_activation(raw[:, 0], engine.net.density_activation)
+        )
+        dvec = pos - cam_origin
+        dvec = dvec / jnp.maximum(
+            jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-6
+        )
+        sh = sh_encode((dvec + 1.0) * 0.5, engine.net.sh_degree)
+        parts = [sh]
+        if extra is not None:
+            parts.append(jnp.broadcast_to(extra, (sh.shape[0], extra.shape[0])))
+        parts.append(raw)
+        rgb_raw = mlp_apply(
+            engine.net.rgb_mlp, params["rgb_mlp"], jnp.concatenate(parts, axis=-1)
+        )
+        rgb = apply_rgb_activation(rgb_raw, engine.net.rgb_activation)
+        out = jnp.concatenate(
+            [rgb * dens[:, None], dens[:, None]], axis=-1
+        ).astype(jnp.bfloat16)
+        return carry, out
+
+    _, vol = jax.lax.scan(one_plane, None, (planes, casc, iplane))
+    return vol.reshape(K, Rv, Rv, Rv, 4)
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "width", "height", "resolution", "n_cascades", "axis", "flip",
+        "hi", "wi", "unroll",
+    ),
+)
+def _render_frame_sweep_impl(
+    engine, params, rows, scale, camera_matrix, focal_length,
+    *, width: int, height: int, resolution: int, n_cascades: int,
+    axis: int, flip: bool, hi: int, wi: int,
+    screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
+    min_transmittance=None, pixel_offset=None, unroll: int = 1,
+):
+    from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+
+    n = width * height
+    if pixel_offset is None:
+        pixel_offset = jnp.asarray([0.5, 0.5], jnp.float32)
+    cam_spec = (width, height, focal_length, camera_matrix, screen_center,
+                pixel_offset)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    o, d_n, dn, _, _ = engine._frame_make_rays(ids, n, cam_spec)
+    minT = jnp.asarray(
+        engine.render_min_transmittance if min_transmittance is None
+        else min_transmittance, jnp.float32,
+    )
+    near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
+
+    o_c = canon_coords(o[0], axis, flip, True)
+    d_c = canon_coords(d_n, axis, flip, False)
+    good = d_c[:, 0] > 1e-3
+    e_px = jnp.clip(
+        d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3), -E_MAX, E_MAX
+    )
+    e_ok = jnp.where(good[:, None], e_px, 0.0)
+    big = jnp.float32(1e9)
+    elo = jnp.min(jnp.where(good[:, None], e_ok, big), axis=0)
+    ehi = jnp.max(jnp.where(good[:, None], e_ok, -big), axis=0)
+    span = jnp.maximum(ehi - elo, 1e-3)
+    deb = span[0] / (hi - 2)
+    dec = span[1] / (wi - 2)
+    eb = elo[0] + (jnp.arange(hi, dtype=jnp.float32) - 0.5) * deb
+    ec = elo[1] + (jnp.arange(wi, dtype=jnp.float32) - 0.5) * dec
+
+    vol = prepare_rgba_volume(
+        engine, params, rows, scale, o[0], resolution, n_cascades
+    )
+    oriented = orient_grid(vol, axis, flip)
+    slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
+
+    C, op, T, bt = sweep_composite(
+        oriented, slab_live, o_c, eb, ec, near, minT,
+        resolution=resolution, n_cascades=n_cascades, unroll=unroll,
+    )
+    maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
+    outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)
+    rgb = jnp.where(good[:, None], outs[:, :3], 0.0)
+    opacity = jnp.where(good, jnp.clip(outs[:, 3], 0.0, 1.0), 0.0)
+    depth = jnp.where(good, outs[:, 4], 0.0) / jnp.maximum(dn, 1e-9)
+
+    bg = jnp.asarray(background, jnp.float32)
+    if "envmap" in params:
+        from sienerf_tpu.ops.envmap import read_envmap
+
+        ev = read_envmap(params["envmap"], d_n)
+        bg_full = ev[:, :3] + bg[None, :] * (1.0 - ev[:, 3:4])
+        rgb = rgb + (1.0 - opacity)[:, None] * bg_full
+    else:
+        rgb = rgb + (1.0 - opacity)[:, None] * bg
+    rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+    return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+
+def _align(x: int, m: int = 128) -> int:
+    return -(-int(x) // m) * m
+
+
+def render_frame_sweep(engine, params, grid, meta, camera_matrix,
+                       focal_length, *, width: int, height: int,
+                       margin: float = 1.15, hi: int | None = None,
+                       wi: int | None = None, **kw):
+    """Full-frame slab-sweep render -> (rgba (H,W,4), depth (H,W)).
+
+    `grid`/`meta` are bake_feature_grid outputs (mode='nearest' — the
+    vertex-row table IS the dense volume, streamed in layout order).  The
+    sweep axis and flip are chosen host-side from the central view ray, so
+    each camera octant compiles once (<= 6 variants per frame geometry)."""
+    if meta["mode"] != "nearest":
+        raise ValueError("sweep renderer needs a mode='nearest' bake")
+    from sienerf_tpu.utils.camera import uv_to_ray
+
+    sc = kw.get("screen_center", (0.5, 0.5))
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    _, d0 = uv_to_ray(uv, (width, height), focal_length, camera_matrix, sc,
+                      engine.lens)
+    d0 = np.asarray(d0)[0]
+    axis = int(np.argmax(np.abs(d0)))
+    flip = bool(d0[axis] < 0)
+    hi = hi or _align(margin * height)
+    wi = wi or _align(margin * width)
+    return _render_frame_sweep_impl(
+        engine, params, grid["rows"], grid["scale"], camera_matrix,
+        focal_length, width=width, height=height,
+        resolution=meta["resolution"], n_cascades=meta["n_cascades"],
+        axis=axis, flip=flip, hi=hi, wi=wi, **kw,
+    )

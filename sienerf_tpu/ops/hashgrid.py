@@ -42,11 +42,16 @@ _PRIMES = (1, 2654435761, 805459861, 3674653429)
 # non-traced Python (ADVICE r3: reading os.environ inside the traced
 # _encode_bwd_impl froze the first-seen value into the jit cache — flipping
 # it mid-process silently did nothing, the exact renderer-knob failure mode
-# resolve_baked_knobs documents).  "perlevel" is the measured winner
-# (campaign3: batched = +450.7 ms grad vs 233.4 per-level @2^18).
+# resolve_baked_knobs documents).  "bf16" is the round-4 measured winner:
+# the TPU scatter unit runs 16-bit updates ~3.6x faster than 32-bit and
+# ignores sortedness entirely (tools/probe_sortscatter.py), so the plain
+# unsorted bf16 segment_sum beats the r1-r3 sorted-f32 design 131 vs 250
+# ms/full-step @2^18 (NOTES_ROUND4 table; equivalence
+# tests/test_hashgrid.py::test_bwd_bf16_mode_close; precision precedent:
+# tcnn trains its hash tables with half-precision gradient accumulation).
 import os as _os
 
-HASH_BWD_MODE = _os.environ.get("SIENERF_HASH_BWD", "perlevel")
+HASH_BWD_MODE = _os.environ.get("SIENERF_HASH_BWD", "bf16")
 
 
 @dataclass(frozen=True)
@@ -377,6 +382,26 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
             # measurement-only — full-step time with this mode isolates the
             # scatter-add's share of the grad wall)
             d_table = jnp.zeros((L, T, C, F), jnp.float32)
+        elif HASH_BWD_MODE == "bf16":
+            # bf16 unsorted scatter-add: the TPU scatter unit runs 16-bit
+            # updates ~3.6x faster than f32 (5.6 vs 19.8 ms at these shapes,
+            # tools/probe_sortscatter.py) and sortedness doesn't matter —
+            # the argsort+take reorder (the r1-r3 design) is pure overhead
+            # on this stack.  Precision: each contribution rounds to bf16
+            # and collisions accumulate in bf16 — the reference's tcnn
+            # trains its hash tables with HALF-precision gradient
+            # accumulation the same way (loss-scaled fp16; bf16 needs no
+            # loss scale).  Equivalence + quality: tests/test_hashgrid.py
+            # ::test_bwd_bf16_mode_close, A/B'd on fox (NOTES_ROUND4).
+            d_levels = []
+            for l in range(L):
+                contrib = (
+                    (w[:, l, :, None] * glp[:, l, None, :])
+                    .reshape(N, C * Fp).astype(jnp.bfloat16)
+                )
+                d_l = jax.ops.segment_sum(contrib, idx[:, l], num_segments=T)
+                d_levels.append(d_l.reshape(T, C, Fp)[..., :F])
+            d_table = jnp.stack(d_levels, axis=0).astype(jnp.float32)
         elif HASH_BWD_MODE == "nosort":
             # plain unsorted scatter-add (the historically-serialized XLA
             # path; kept as an A/B probe of the current compiler)

@@ -1,0 +1,234 @@
+"""Shear-warp slab-sweep volume renderer primitives: render the baked
+field with ZERO random gathers.
+
+Why this exists (NOTES_ROUND4 roofline): the gather-based baked renderer
+is bound by the TPU's random-row gather rate (~88M descriptors/s measured
+— tools/bench_baked_gather.py), which is ~0.3% of HBM bandwidth at 32-byte
+rows.  Every knob sweep since round 2 moved within that wall.  This module
+removes the wall instead: the classic shear-warp factorization (Lacroute &
+Levoy, SIGGRAPH '94 — perspective variant) decomposes the view transform
+into
+
+  per-slab AFFINE resample  (separable bilinear == two banded matmuls, MXU)
+  x  one final 2D projective warp (one small-table gather pass per frame).
+
+The volume is streamed slab by slab in MEMORY ORDER (HBM sequential reads
+at bandwidth, not descriptors), every slab is resampled onto a fixed
+"intermediate image" with two matmuls, and compositing is elementwise VPU
+work.  The TPU-native insight making the per-slab map affine: for a pinhole
+at origin o, the ray through intermediate pixel with gnomonic coordinate
+e = d_{bc}/d_a crosses the plane x_a = x at
+
+    (u, v) = o_{bc} + (x - o_a) * e                                   (*)
+
+i.e. a per-slab UNIFORM SCALE of the fixed e-grid — so slab -> intermediate
+is separable bilinear, exactly two (H_i, Rv) @ (Rv, Rv) @ (Rv, W_i)
+matmuls.  The reference's renderer has no counterpart (it is a CUDA
+megakernel marcher, testbed_nerf.cu:2022-2145); this is the same volume
+integral evaluated slab-wise:
+
+  - sample planes: every vertex lattice plane x = lo_m + j*pitch_m of every
+    cascade, swept front-to-back in world order (cascades interleave);
+  - per sample: premultiplied bilinear in-plane interpolation of the baked
+    (sigma*rgb, sigma) grid (premultiplication makes culled zero-density
+    vertices weightless, like the trilinear path's sentinel renorm);
+  - dt = pitch_m * sec(ray, axis): the distance to the next same-cascade
+    plane along the ray (uniform ss=1 stepping — DENSER than the gather
+    renderer's cone chains, never sparser);
+  - cascade ownership: cascade m's contribution is zeroed strictly inside
+    cascade m-1's cube (mip_from_pos convention, nerf_device.cuh).
+
+Coordinate canon: callers orient the grid so the sweep axis is axis 0
+ascending with all rays' d_a > 0 (choose a = argmax |forward|; flip with
+x -> 1-x keeps cascade cubes, centered at 0.5, invariant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slab_schedule(n_cascades: int, resolution: int):
+    """Static front-to-back slab schedule over all cascades.
+
+    Returns numpy arrays (S,) — casc, slab index j, world x, pitch, and
+    inner-mask flag (cascade m slab lies at |x-0.5| < side(m-1)/2, so its
+    central (R/4, 3R/4) vertex square must be zeroed — that region belongs
+    to cascade m-1).  Sample planes are j = 0..R-1 (each integrates the
+    [x_j, x_j + pitch) segment; the j = R face plane starts no segment).
+    """
+    K, R = n_cascades, resolution
+    casc, slab, xs, pitch, inner = [], [], [], [], []
+    for m in range(K):
+        side = 2.0 ** m
+        lo = 0.5 - 0.5 * side
+        p = side / R
+        for j in range(R):
+            x = lo + j * p
+            casc.append(m)
+            slab.append(j)
+            xs.append(x)
+            pitch.append(p)
+            inner.append(m > 0 and abs(x - 0.5) < 2.0 ** (m - 2))
+    order = np.argsort(np.asarray(xs), kind="stable")
+    return (
+        np.asarray(casc, np.int32)[order],
+        np.asarray(slab, np.int32)[order],
+        np.asarray(xs, np.float32)[order],
+        np.asarray(pitch, np.float32)[order],
+        np.asarray(inner, np.bool_)[order],
+    )
+
+
+def orient_grid(grid5: jnp.ndarray, axis: int, flip: bool) -> jnp.ndarray:
+    """(K, X, Y, Z, C) volume -> (K, S_a, C, S_b, S_c) slab-major layout
+    for the sweep along `axis` (0/1/2), ascending after optional flip.
+    b < c are the two non-swept axes in ascending index order."""
+    b, c = [ax for ax in (0, 1, 2) if ax != axis]
+    g = jnp.transpose(grid5, (0, 1 + axis, 4, 1 + b, 1 + c))
+    if flip:
+        g = jnp.flip(g, axis=1)
+    return g
+
+
+def canon_coords(vec3: jnp.ndarray, axis: int, flip: bool, is_point: bool):
+    """World vector/point -> canonical sweep coords (a, b, c).  Points flip
+    about the cascade center (x -> 1-x); directions negate."""
+    b, c = [ax for ax in (0, 1, 2) if ax != axis]
+    out = jnp.stack([vec3[..., axis], vec3[..., b], vec3[..., c]], axis=-1)
+    if flip:
+        flip_a = (1.0 - out[..., 0]) if is_point else (-out[..., 0])
+        out = jnp.concatenate([flip_a[..., None], out[..., 1:]], axis=-1)
+    return out
+
+
+def _interp_matrix(targets: jnp.ndarray, n_src: int) -> jnp.ndarray:
+    """(M,) continuous source coordinates -> (M, n_src) bilinear hat
+    weights; rows whose coordinate falls outside [0, n_src-1] are all-zero
+    (samples beyond the cascade cube contribute nothing, matching the
+    marcher's oob handling)."""
+    src = jax.lax.broadcasted_iota(jnp.float32, (targets.shape[0], n_src), 1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(targets[:, None] - src))
+    inb = (targets >= 0.0) & (targets <= n_src - 1)
+    return jnp.where(inb[:, None], w, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "n_cascades", "unroll"),
+)
+def sweep_composite(
+    oriented,            # (K, R+1, 4, R+1, R+1) bf16: [s*r, s*g, s*b, s]
+    slab_live,           # (K, R+1) bool
+    o_c,                 # (3,) canonical camera origin
+    eb,                  # (Hi,) intermediate row gnomonic coords
+    ec,                  # (Wi,) intermediate col gnomonic coords
+    near,                # scalar
+    min_transmittance,   # scalar
+    *,
+    resolution: int,
+    n_cascades: int,
+    unroll: int = 1,
+):
+    """Front-to-back composite of every cascade slab onto the intermediate
+    image.  Returns (rgb (Hi,Wi,3), opacity, T, depth_t (Hi,Wi)) where
+    depth_t is the best-weight sample t (normalized-direction units), the
+    same depth the streaming renderer reports."""
+    R = resolution
+    Rv = R + 1
+    K = n_cascades
+    casc_np, slab_np, x_np, pitch_np, inner_np = slab_schedule(K, R)
+    sched = (
+        jnp.asarray(casc_np), jnp.asarray(slab_np), jnp.asarray(x_np),
+        jnp.asarray(pitch_np), jnp.asarray(inner_np),
+    )
+    Hi, Wi = eb.shape[0], ec.shape[0]
+    # sec(ray, axis) per intermediate pixel: |d|/d_a for d = (1, eb, ec)
+    L = jnp.sqrt(1.0 + eb[:, None] ** 2 + ec[None, :] ** 2)  # (Hi, Wi)
+
+    # central (R/4, 3R/4) vertex square owned by the finer cascade
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Rv, Rv), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Rv, Rv), 1)
+    inner_sq = (
+        (ii > R // 4) & (ii < 3 * R // 4) & (jj > R // 4) & (jj < 3 * R // 4)
+    )
+
+    def body(carry, entry):
+        C, T, op, bw, bt = carry
+        m, j, x, pitch, inner = entry
+        live = slab_live[m, j] & (jnp.max(T) >= min_transmittance)
+
+        def do(_):
+            slab = jax.lax.dynamic_slice(
+                oriented, (m, j, 0, 0, 0), (1, 1, 4, Rv, Rv)
+            )[0, 0]  # (4, Rv, Rv)
+            slab = jnp.where(inner & inner_sq[None], jnp.bfloat16(0), slab)
+            x_rel = x - o_c[0]
+            lo = 0.5 - 0.5 * pitch * R
+            gu = (o_c[1] + x_rel * eb - lo) / pitch  # (Hi,)
+            gv = (o_c[2] + x_rel * ec - lo) / pitch  # (Wi,)
+            A = _interp_matrix(gu, Rv).astype(jnp.bfloat16)  # (Hi, Rv)
+            Bm = _interp_matrix(gv, Rv).astype(jnp.bfloat16)  # (Wi, Rv)
+            # separable bilinear as two MXU matmuls; bf16-ok: interpolation
+            # weights in [0,1] and int16-quantized values — 2^-9 relative
+            # rounding is far below the bake's own quantization floor
+            t1 = jnp.dot(A, slab.transpose(1, 0, 2).reshape(Rv, 4 * Rv),
+                         preferred_element_type=jnp.float32)
+            t1 = t1.reshape(Hi, 4, Rv).astype(jnp.bfloat16)
+            t2 = jnp.dot(t1.transpose(1, 0, 2).reshape(4 * Hi, Rv), Bm.T,
+                         preferred_element_type=jnp.float32)
+            s = t2.reshape(4, Hi, Wi)
+            sigma = jnp.maximum(s[3], 0.0)
+            rgb = s[:3] / jnp.maximum(sigma, 1e-10)[None]
+            t_hat = x_rel * L
+            dt = pitch * L
+            alive = (T >= min_transmittance) & (t_hat >= near)
+            alpha = jnp.where(alive, 1.0 - jnp.exp(-sigma * dt), 0.0)
+            w = T * alpha
+            better = w > bw
+            return (
+                C + w[None] * rgb,
+                T * (1.0 - alpha),
+                op + w,
+                jnp.where(better, w, bw),
+                jnp.where(better, t_hat, bt),
+            )
+
+        new = jax.lax.cond(live, do, lambda _: carry, None)
+        return new, None
+
+    zero = jnp.zeros((Hi, Wi), jnp.float32)
+    carry = (jnp.zeros((3, Hi, Wi), jnp.float32), 1.0 - zero, zero, zero, zero)
+    (C, T, op, bw, bt), _ = jax.lax.scan(body, carry, sched, unroll=unroll)
+    return C.transpose(1, 2, 0), op, T, bt
+
+
+def warp_to_pixels(maps: jnp.ndarray, e_px: jnp.ndarray,
+                   eb0, deb, ec0, dec) -> jnp.ndarray:
+    """Final projective warp: sample the composited intermediate maps
+    (Hi, Wi, C) at each output pixel's gnomonic coordinate (N, 2) with
+    bilinear interpolation.  The only gather pass in the whole sweep
+    renderer — four row descriptors per pixel from a small table, with all
+    C channels riding each row (bytes are free at fixed descriptor count,
+    tools/bench_baked_gather.py)."""
+    Hi, Wi, C = maps.shape
+    fi = jnp.clip((e_px[:, 0] - eb0) / deb, 0.0, Hi - 1.0)
+    fj = jnp.clip((e_px[:, 1] - ec0) / dec, 0.0, Wi - 1.0)
+    i0 = jnp.minimum(jnp.floor(fi).astype(jnp.int32), Hi - 2)
+    j0 = jnp.minimum(jnp.floor(fj).astype(jnp.int32), Wi - 2)
+    wu = (fi - i0.astype(jnp.float32))[:, None]
+    wv = (fj - j0.astype(jnp.float32))[:, None]
+    flat = maps.reshape(Hi * Wi, C)
+    base = i0 * Wi + j0
+    r00 = jnp.take(flat, base, axis=0)
+    r01 = jnp.take(flat, base + 1, axis=0)
+    r10 = jnp.take(flat, base + Wi, axis=0)
+    r11 = jnp.take(flat, base + Wi + 1, axis=0)
+    return (
+        r00 * (1 - wu) * (1 - wv) + r01 * (1 - wu) * wv
+        + r10 * wu * (1 - wv) + r11 * wu * wv
+    )

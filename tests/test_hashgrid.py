@@ -244,9 +244,44 @@ def test_hash_bwd_batched_matches_perlevel(monkeypatch):
         out = hashgrid_encode(cfg, t, p)
         return jnp.sum(jnp.sin(out) * jnp.arange(cfg.n_output_dims))
 
-    monkeypatch.setenv("SIENERF_HASH_BWD", "batched")
+    # the knob is a module attribute resolved at import (ADVICE r3: env
+    # reads inside traced code freeze into the jit cache) — patch the
+    # attribute, not the env
+    from sienerf_tpu.ops import hashgrid as hg
+
+    monkeypatch.setattr(hg, "HASH_BWD_MODE", "batched")
     g_b = jax.grad(loss, argnums=(0, 1))(table, pos)
-    monkeypatch.setenv("SIENERF_HASH_BWD", "perlevel")
+    monkeypatch.setattr(hg, "HASH_BWD_MODE", "perlevel")
     g_p = jax.grad(loss, argnums=(0, 1))(table, pos)
     assert float(jnp.max(jnp.abs(g_b[0] - g_p[0]))) == 0.0
     assert float(jnp.max(jnp.abs(g_b[1] - g_p[1]))) == 0.0
+
+
+def test_bwd_bf16_mode_close(monkeypatch):
+    """SIENERF_HASH_BWD=bf16 (unsorted bf16 scatter-add — the measured
+    3.6x-faster TPU path, NOTES_ROUND4) matches the f32 sorted backward to
+    bf16 rounding tolerance.  Reference precedent: tcnn accumulates hash
+    gradients in fp16 (network_precision_t, testbed.h:462-466)."""
+    import jax
+
+    from sienerf_tpu.ops import hashgrid as hg
+
+    cfg = HashGridConfig(n_levels=5, log2_hashmap_size=11, n_dims=3)
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg) * 1e4
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (1337, 3))
+
+    def loss(t):
+        out = hashgrid_encode(cfg, t, pos)
+        return jnp.vdot(out, jnp.sin(jnp.arange(out.size, dtype=jnp.float32)
+                                     ).reshape(out.shape))
+
+    monkeypatch.setattr(hg, "HASH_BWD_MODE", "perlevel")
+    d32 = jax.grad(loss)(table)
+    monkeypatch.setattr(hg, "HASH_BWD_MODE", "bf16")
+    d16 = jax.grad(loss)(table)
+    scale = float(jnp.max(jnp.abs(d32)))
+    err = float(jnp.max(jnp.abs(d32 - d16)))
+    # per-contribution bf16 rounding is 2^-9 relative; collisions accumulate
+    # a few of them — 2% of the max-magnitude row is far above any seen
+    # value but far below a wrong-algorithm error
+    assert err <= 0.02 * scale, (err, scale)

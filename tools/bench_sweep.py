@@ -1,0 +1,104 @@
+"""Drive + time the slab-sweep renderer on the real fox field (TPU).
+
+Renders the bench view (720p, native focal) three ways — slab-sweep,
+gather-baked winner config, live streaming — times the first two
+(loop-amortized, varied pixel_offset per rep so the jit cache can't serve
+stale results), and reports cross-PSNRs.  The sweep renderer must land
+within the same novel-view-parity family as the gather renderer before it
+may become the bench headline (tools/eval_baked_parity.py --renderer sweep
+is the gate evidence; this is the perf + smoke drive).
+
+Usage: [W=1280 H=720] [SWEEP_ONLY=1] python tools/bench_sweep.py
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.profile_render import get_state  # noqa: E402
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-10))
+
+
+def main():
+    from sienerf_tpu.engines.nerf_baked import render_frame_baked
+    from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
+    from sienerf_tpu.ops.optim import inference_params
+
+    W = int(os.environ.get("W", "1280"))
+    H = int(os.environ.get("H", "720"))
+    eng, state = get_state()
+    params = inference_params(state["opt"], state["params"])
+    bitfield = state["occ"]["bitfield"]
+
+    t0 = time.time()
+    grid, meta = eng.bake_features(params, state["occ"], resolution=256,
+                                   mode="nearest", row_bits=16)
+    float(np.asarray(grid["rows"][0, 0]))
+    print(f"# bake R=256 int16: {time.time()-t0:.1f}s", flush=True)
+
+    cam = eng.xforms[0]
+    fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # native focal at 720p
+    sc = tuple(np.asarray(eng.principal_points[0]))
+
+    def sweep(off):
+        return render_frame_sweep(
+            eng, params, grid, meta, cam, fl, width=W, height=H,
+            screen_center=sc, pixel_offset=jnp.asarray(off, jnp.float32),
+        )
+
+    def timeit(name, fn, n=4):
+        r = fn((0.5, 0.5))
+        np.asarray(r[0][0, 0])  # compile + sync through the tunnel
+        t0 = time.time()
+        for i in range(n):
+            r = fn((0.5, 0.5 + 1e-6 * (i + 1)))
+        out = np.asarray(r[0])
+        dt = (time.time() - t0) / n
+        print(f"{name:18s} {dt*1e3:8.1f} ms/frame  {W*H/dt/1e6:6.2f} Mrays/s",
+              flush=True)
+        return out, dt
+
+    img_sweep, dt_sweep = timeit("sweep", sweep)
+
+    if os.environ.get("SWEEP_ONLY"):
+        return
+
+    BAKED = dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+                 init_advance_iters=64, cull="brick", fine="row", adv="dist")
+
+    def baked(off):
+        return render_frame_baked(
+            eng, params, bitfield, grid, cam, fl, width=W, height=H,
+            resolution=meta["resolution"], mode=meta["mode"],
+            n_cascades=meta["n_cascades"], screen_center=sc,
+            pixel_offset=jnp.asarray(off, jnp.float32), **BAKED,
+        )
+
+    img_baked, dt_baked = timeit("baked(gather)", baked, n=2)
+    print(f"sweep-vs-baked PSNR: {psnr(img_sweep[..., :3], img_baked[..., :3]):.2f} dB")
+
+    t0 = time.time()
+    live, _ = eng.render_frame(params, bitfield, W, H, cam, fl,
+                               screen_center=sc)
+    live = np.asarray(live)
+    print(f"live               {(time.time()-t0)*1e3:8.1f} ms/frame (1 rep, compile incl.)")
+    print(f"sweep-vs-live PSNR: {psnr(img_sweep[..., :3], live[..., :3]):.2f} dB")
+    print(f"baked-vs-live PSNR: {psnr(img_baked[..., :3], live[..., :3]):.2f} dB")
+    np.save("/tmp/sweep720.npy", img_sweep)
+    np.save("/tmp/baked720.npy", img_baked)
+    np.save("/tmp/live720.npy", live)
+
+
+if __name__ == "__main__":
+    main()

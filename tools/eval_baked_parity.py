@@ -8,8 +8,10 @@ sampling decorrelation on sub-voxel fur, not bake infidelity.  This script
 measures the thing that actually matters: does a user lose quality by
 switching to the fast renderer on views the field was NOT fit to?
 
-Usage: FOX_CACHE=fox_16k.pkl [BAKE_R=256] [DS=4] python tools/eval_baked_parity.py
-(uses .cache/fox_split/transforms_test.json for the held-out views)
+Usage: FOX_CACHE=fox_16k.pkl [BAKE_R=256] [DS=4] [RENDERER=baked|sweep] \
+         python tools/eval_baked_parity.py
+(uses .cache/fox_split/transforms_test.json for the held-out views;
+RENDERER=sweep scores the slab-sweep renderer instead of the gather one)
 """
 
 import os
@@ -46,6 +48,23 @@ def main():
                              downscale=DS)
     cfg = dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
                init_advance_iters=32, cull="brick", fine="row")
+    renderer = os.environ.get("RENDERER", "baked")
+    if renderer == "sweep":
+        from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
+
+        def fast_frame(cam, focal, w, h, sc):
+            return render_frame_sweep(
+                eng, params, grid, meta, cam, focal, width=w, height=h,
+                screen_center=sc, min_transmittance=1e-4,
+            )
+    else:
+        def fast_frame(cam, focal, w, h, sc):
+            return render_frame_baked(
+                eng, params, bf, grid, cam, focal, width=w, height=h,
+                resolution=meta["resolution"], mode=meta["mode"],
+                n_cascades=meta["n_cascades"], screen_center=sc,
+                min_transmittance=1e-4, **cfg,
+            )
     rows = []
     for vi in range(test.n_images):
         gt = test.images[vi]
@@ -55,12 +74,7 @@ def main():
         sc = tuple(np.asarray(test.principal_points[vi]))
         live, _ = eng.render_frame(params, bf, w, h, cam, focal, tile=1 << 14,
                                    screen_center=sc, min_transmittance=1e-4)
-        baked, _ = render_frame_baked(
-            eng, params, bf, grid, cam, focal, width=w, height=h,
-            resolution=meta["resolution"], mode=meta["mode"],
-            n_cascades=meta["n_cascades"], screen_center=sc,
-            min_transmittance=1e-4, **cfg,
-        )
+        baked, _ = fast_frame(cam, focal, w, h, sc)
         gt_rgb = gt[..., :3] * gt[..., 3:4]
         pl = psnr_of(np.asarray(live[..., :3], np.float64), gt_rgb)
         pb = psnr_of(np.asarray(baked[..., :3], np.float64), gt_rgb)

@@ -370,6 +370,49 @@ CONFIG_SETS = {
              env={"SIENERF_CULL": "brick", "SIENERF_FINE": "row",
                   "SIENERF_ADV": "dist"}),  # longer chains: fewer rounds?
     ],
+    # round-4 descriptor-budget attack (VERDICT r3 next #1).  Frame cost
+    # model (NOTES_ROUND4 roofline): every stage is gather-DESCRIPTOR-
+    # limited at the measured ~88M rows/s wall, so ms/frame ~ total
+    # descriptors issued.  Winner cfg spends ~42/ray-round (8 dist jumps +
+    # 16 brick cull heads + 16 fine rows + flush); these configs attack
+    # each term: flush amortization, brick fine gather (post byte-plane
+    # onehot fix), fewer jumps, longer chains (fixed costs per round
+    # amortize over more candidates), and the no-cull limit (at fox's
+    # ~47% live-bit fraction the cull probes barely pay for themselves).
+    "v15": [
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist"),  # v14 winner ref
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             flush_every=2),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             flush_every=3),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="brick", adv="dist",
+             fine_heads=8, flush_every=2),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="brick", adv="dist",
+             fine_heads=12, flush_every=2),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             flush_every=2),  # 4 jumps/round
+        dict(candidates=128, evals=24, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             cull_heads=24, flush_every=2),  # long chains
+        dict(candidates=128, evals=32, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             cull_heads=32, flush_every=2),
+        # no-cull limit: evals >= candidates skips the probe stage wholly;
+        # dist jumps carry all empty-space skipping
+        dict(candidates=16, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, adv="dist", flush_every=2),
+        dict(candidates=24, evals=24, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, adv="dist", flush_every=2),
+        dict(candidates=64, evals=16, step_scale=4.0, advance_iters=32,
+             init_advance_iters=64, cull="brick", fine="row", adv="dist",
+             tile=1 << 17, flush_every=2),
+    ],
     # scout-vs-DDA per-round advance A/B at the brick/row winner
     "adv": [
         dict(candidates=64, evals=16, step_scale=4.0, advance_iters=16,
