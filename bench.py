@@ -152,6 +152,10 @@ def main():
     # v14 winner: 8 distance jumps/round + deep jump init (953.8 ms /
     # 0.97 Mrays/s vs 1257 for the DDA tune — NOTES_ROUND3 fifth window)
     CONFIGS = [
+        # round-4 headline candidate: the gather-free slab-sweep renderer
+        # (engines/nerf_sweep.py) — same bake, no per-ray random access;
+        # subject to the SAME quality gate as every gather config
+        ("sweep", dict(renderer="sweep")),
         ("brick-row-dist", dict(BASE, cull="brick", fine="row", adv="dist",
                                 advance_iters=32, init_advance_iters=64)),
         ("brick-row", dict(BASE, cull="brick", fine="row")),
@@ -162,6 +166,14 @@ def main():
     old_gate = os.environ.get("BENCH_GATE", "parity") == "cross30"
 
     def baked_frame(w, h, focal, cfg, camera=None, sc=(0.5, 0.5)):
+        if cfg.get("renderer") == "sweep":
+            from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
+
+            return render_frame_sweep(
+                eng, params, grid, meta, camera if camera is not None else cam,
+                focal, width=w, height=h, screen_center=sc,
+                min_transmittance=1e-4 if camera is not None else None,
+            )
         return render_frame_baked(
             eng, params, bf, grid, camera if camera is not None else cam,
             focal, width=w, height=h, screen_center=sc,
@@ -365,12 +377,10 @@ def main():
         screen_center=tuple(np.asarray(eng.principal_points[0])),
     )
     q = psnr_of(np.asarray(rgba_q[..., :3]), ds.images[0][..., :3])
-    rgba_qb, _ = render_frame_baked(
-        eng, params, bf, grid, eng.xforms[0], tuple(np.asarray(eng.focals[0])),
-        width=w_ds, height=h_ds,
-        screen_center=tuple(np.asarray(eng.principal_points[0])),
-        resolution=meta["resolution"], mode=meta["mode"],
-        n_cascades=meta["n_cascades"], **BAKED_CFG,
+    rgba_qb, _ = baked_frame(
+        w_ds, h_ds, tuple(np.asarray(eng.focals[0])), BAKED_CFG,
+        camera=eng.xforms[0],
+        sc=tuple(np.asarray(eng.principal_points[0])),
     )
     qb = psnr_of(np.asarray(rgba_qb[..., :3]), ds.images[0][..., :3])
     print(f"# quality: train-view PSNR live {q:.2f} / baked(timed cfg) {qb:.2f} "

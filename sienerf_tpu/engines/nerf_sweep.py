@@ -45,19 +45,14 @@ from sienerf_tpu.ops.sweep import (
 E_MAX = 16.0  # gnomonic clamp: rays >86 deg off-axis fall back to bg
 
 
-def prepare_rgba_volume(engine, params, rows, scale, cam_origin,
-                        resolution: int, n_cascades: int):
-    """(K*(R+1)^3, F/2) baked rows -> (K, R+1, R+1, R+1, 4) bf16
-    premultiplied [s*r, s*g, s*b, s] volume, shaded for `cam_origin`.
-
-    Streams the table in layout order (one (R+1)^2 plane per scan step):
-    zero gathers, one dense MLP pass over every vertex."""
+def _shade_planes(engine, params, planes, casc, iplane, scale, cam_origin,
+                  resolution: int, n_cascades: int):
+    """Scan-shade a stack of vertex planes: (P, (R+1)^2, F/2|F/4) rows ->
+    (P, (R+1)^2, 4) bf16 premultiplied rgba (the shared unit behind the
+    single-device and plane-sharded prep)."""
     R, K = resolution, n_cascades
     Rv = R + 1
-    bits = row_bits(rows)
-    planes = rows.reshape(K * Rv, Rv * Rv, rows.shape[-1])
-    casc = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Rv)
-    iplane = jnp.tile(jnp.arange(Rv, dtype=jnp.int32), K)
+    bits = row_bits(planes)
     extra = None
     if engine.net.n_extra_dims:
         extra = engine._render_extra(params)
@@ -100,7 +95,61 @@ def prepare_rgba_volume(engine, params, rows, scale, cam_origin,
         return carry, out
 
     _, vol = jax.lax.scan(one_plane, None, (planes, casc, iplane))
+    return vol
+
+
+def prepare_rgba_volume(engine, params, rows, scale, cam_origin,
+                        resolution: int, n_cascades: int):
+    """(K*(R+1)^3, F/2) baked rows -> (K, R+1, R+1, R+1, 4) bf16
+    premultiplied [s*r, s*g, s*b, s] volume, shaded for `cam_origin`.
+
+    Streams the table in layout order (one (R+1)^2 plane per scan step):
+    zero gathers, one dense MLP pass over every vertex."""
+    R, K = resolution, n_cascades
+    Rv = R + 1
+    planes = rows.reshape(K * Rv, Rv * Rv, rows.shape[-1])
+    casc = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Rv)
+    iplane = jnp.tile(jnp.arange(Rv, dtype=jnp.int32), K)
+    vol = _shade_planes(engine, params, planes, casc, iplane, scale,
+                        cam_origin, R, K)
     return vol.reshape(K, Rv, Rv, Rv, 4)
+
+
+def prepare_rgba_volume_sharded(engine, params, rows, scale, cam_origin,
+                                resolution: int, n_cascades: int, mesh):
+    """Plane-sharded prep: the K*(R+1) vertex planes split evenly over the
+    `rays` mesh axis (pad planes shade garbage into discarded rows); each
+    device shades its contiguous plane range locally — the volume bake is
+    embarrassingly parallel.  SURVEY.md §2.9."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    R, K = resolution, n_cascades
+    Rv = R + 1
+    ndev = mesh.devices.size
+    P_total = K * Rv
+    pad_to = -(-P_total // ndev) * ndev
+    planes = rows.reshape(P_total, Rv * Rv, rows.shape[-1])
+    if pad_to > P_total:
+        planes = jnp.concatenate(
+            [planes, jnp.broadcast_to(planes[:1], (pad_to - P_total,) + planes.shape[1:])]
+        )
+    casc = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Rv)
+    iplane = jnp.tile(jnp.arange(Rv, dtype=jnp.int32), K)
+    casc = jnp.concatenate([casc, jnp.zeros(pad_to - P_total, jnp.int32)])
+    iplane = jnp.concatenate([iplane, jnp.zeros(pad_to - P_total, jnp.int32)])
+
+    fn = shard_map(
+        lambda pl, ca, ip, p, sc, co: _shade_planes(
+            engine, p, pl, ca, ip, sc, co, R, K
+        ),
+        mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P("rays"), P(), P(), P()),
+        out_specs=P("rays"),
+        check_vma=False,
+    )
+    vol = fn(planes, casc, iplane, params, scale, cam_origin)
+    return vol[:P_total].reshape(K, Rv, Rv, Rv, 4)
 
 
 @partial(
@@ -180,6 +229,110 @@ def _render_frame_sweep_impl(
 
 def _align(x: int, m: int = 128) -> int:
     return -(-int(x) // m) * m
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "width", "height", "resolution", "n_cascades", "axis", "flip",
+        "hi", "wi", "mesh",
+    ),
+)
+def _render_frame_sweep_multichip_impl(
+    engine, params, rows, scale, camera_matrix, focal_length,
+    *, width: int, height: int, resolution: int, n_cascades: int,
+    axis: int, flip: bool, hi: int, wi: int, mesh,
+    screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
+    min_transmittance=None, pixel_offset=None,
+):
+    """Multichip slab-sweep frame: prep sharded over vertex planes,
+    composite sharded over slab ranges (associative over-fold —
+    ops/sweep.sweep_composite_sharded), warp/epilogue replicated.  Exactly
+    the single-chip pipeline rearranged along the mesh; at
+    min_transmittance=0 the fold is bit-faithful to the single-chip frame
+    up to f32 reassociation."""
+    from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+    from sienerf_tpu.ops.sweep import sweep_composite_sharded
+
+    n = width * height
+    if pixel_offset is None:
+        pixel_offset = jnp.asarray([0.5, 0.5], jnp.float32)
+    cam_spec = (width, height, focal_length, camera_matrix, screen_center,
+                pixel_offset)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    o, d_n, dn, _, _ = engine._frame_make_rays(ids, n, cam_spec)
+    minT = jnp.asarray(
+        engine.render_min_transmittance if min_transmittance is None
+        else min_transmittance, jnp.float32,
+    )
+    near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
+    o_c = canon_coords(o[0], axis, flip, True)
+    d_c = canon_coords(d_n, axis, flip, False)
+    good = d_c[:, 0] > 1e-3
+    e_px = jnp.clip(d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3), -E_MAX, E_MAX)
+    e_ok = jnp.where(good[:, None], e_px, 0.0)
+    big = jnp.float32(1e9)
+    elo = jnp.min(jnp.where(good[:, None], e_ok, big), axis=0)
+    ehi = jnp.max(jnp.where(good[:, None], e_ok, -big), axis=0)
+    span = jnp.maximum(ehi - elo, 1e-3)
+    deb = span[0] / (hi - 2)
+    dec = span[1] / (wi - 2)
+    eb = elo[0] + (jnp.arange(hi, dtype=jnp.float32) - 0.5) * deb
+    ec = elo[1] + (jnp.arange(wi, dtype=jnp.float32) - 0.5) * dec
+
+    vol = prepare_rgba_volume_sharded(
+        engine, params, rows, scale, o[0], resolution, n_cascades, mesh
+    )
+    oriented = orient_grid(vol, axis, flip)
+    slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
+    C, op, T, bt = sweep_composite_sharded(
+        mesh, oriented, slab_live, o_c, eb, ec, near, minT,
+        resolution=resolution, n_cascades=n_cascades,
+    )
+    maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
+    outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)
+    rgb = jnp.where(good[:, None], outs[:, :3], 0.0)
+    opacity = jnp.where(good, jnp.clip(outs[:, 3], 0.0, 1.0), 0.0)
+    depth = jnp.where(good, outs[:, 4], 0.0) / jnp.maximum(dn, 1e-9)
+    bg = jnp.asarray(background, jnp.float32)
+    if "envmap" in params:
+        from sienerf_tpu.ops.envmap import read_envmap
+
+        ev = read_envmap(params["envmap"], d_n)
+        bg_full = ev[:, :3] + bg[None, :] * (1.0 - ev[:, 3:4])
+        rgb = rgb + (1.0 - opacity)[:, None] * bg_full
+    else:
+        rgb = rgb + (1.0 - opacity)[:, None] * bg
+    rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+    return rgba.reshape(height, width, 4), depth.reshape(height, width)
+
+
+def render_frame_sweep_multichip(engine, params, grid, meta, camera_matrix,
+                                 focal_length, mesh, *, width: int,
+                                 height: int, margin: float = 1.15,
+                                 hi: int | None = None, wi: int | None = None,
+                                 **kw):
+    """Multichip full-frame slab-sweep render (see the impl docstring)."""
+    if meta["mode"] != "nearest":
+        raise ValueError("sweep renderer needs a mode='nearest' bake")
+    from sienerf_tpu.utils.camera import uv_to_ray
+
+    sc = kw.get("screen_center", (0.5, 0.5))
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    _, d0 = uv_to_ray(uv, (width, height), focal_length, camera_matrix, sc,
+                      engine.lens)
+    d0 = np.asarray(d0)[0]
+    axis = int(np.argmax(np.abs(d0)))
+    flip = bool(d0[axis] < 0)
+    hi = hi or _align(margin * height)
+    wi = wi or _align(margin * width)
+    return _render_frame_sweep_multichip_impl(
+        engine, params, grid["rows"], grid["scale"], camera_matrix,
+        focal_length, width=width, height=height,
+        resolution=meta["resolution"], n_cascades=meta["n_cascades"],
+        axis=axis, flip=flip, hi=hi, wi=wi, mesh=mesh, **kw,
+    )
 
 
 def render_frame_sweep(engine, params, grid, meta, camera_matrix,

@@ -117,35 +117,16 @@ def _interp_matrix(targets: jnp.ndarray, n_src: int) -> jnp.ndarray:
     return jnp.where(inb[:, None], w, 0.0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("resolution", "n_cascades", "unroll"),
-)
-def sweep_composite(
-    oriented,            # (K, R+1, 4, R+1, R+1) bf16: [s*r, s*g, s*b, s]
-    slab_live,           # (K, R+1) bool
-    o_c,                 # (3,) canonical camera origin
-    eb,                  # (Hi,) intermediate row gnomonic coords
-    ec,                  # (Wi,) intermediate col gnomonic coords
-    near,                # scalar
-    min_transmittance,   # scalar
-    *,
-    resolution: int,
-    n_cascades: int,
-    unroll: int = 1,
+def _composite_over(
+    sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
+    resolution: int, unroll: int = 1, return_bw: bool = False,
+    vary_axes=None,
 ):
-    """Front-to-back composite of every cascade slab onto the intermediate
-    image.  Returns (rgb (Hi,Wi,3), opacity, T, depth_t (Hi,Wi)) where
-    depth_t is the best-weight sample t (normalized-direction units), the
-    same depth the streaming renderer reports."""
+    """Front-to-back composite of the given slab schedule (a tuple of
+    (S,) arrays: casc, slab, x, pitch, inner, valid) onto the intermediate
+    image.  Returns (rgb (Hi,Wi,3), opacity, T, depth_t (Hi,Wi))."""
     R = resolution
     Rv = R + 1
-    K = n_cascades
-    casc_np, slab_np, x_np, pitch_np, inner_np = slab_schedule(K, R)
-    sched = (
-        jnp.asarray(casc_np), jnp.asarray(slab_np), jnp.asarray(x_np),
-        jnp.asarray(pitch_np), jnp.asarray(inner_np),
-    )
     Hi, Wi = eb.shape[0], ec.shape[0]
     # sec(ray, axis) per intermediate pixel: |d|/d_a for d = (1, eb, ec)
     L = jnp.sqrt(1.0 + eb[:, None] ** 2 + ec[None, :] ** 2)  # (Hi, Wi)
@@ -159,8 +140,8 @@ def sweep_composite(
 
     def body(carry, entry):
         C, T, op, bw, bt = carry
-        m, j, x, pitch, inner = entry
-        live = slab_live[m, j] & (jnp.max(T) >= min_transmittance)
+        m, j, x, pitch, inner, valid = entry
+        live = valid & slab_live[m, j] & (jnp.max(T) >= min_transmittance)
 
         def do(_):
             slab = jax.lax.dynamic_slice(
@@ -203,8 +184,118 @@ def sweep_composite(
 
     zero = jnp.zeros((Hi, Wi), jnp.float32)
     carry = (jnp.zeros((3, Hi, Wi), jnp.float32), 1.0 - zero, zero, zero, zero)
+    if vary_axes:
+        # under shard_map the sharded-schedule branch outputs are
+        # axis-varying; the carry must start varying too or lax.cond's
+        # branch types mismatch (jax >= 0.8 varying-axis typing)
+        carry = jax.tree.map(
+            lambda a: jax.lax.pcast(a, vary_axes, to="varying"), carry
+        )
     (C, T, op, bw, bt), _ = jax.lax.scan(body, carry, sched, unroll=unroll)
+    if return_bw:
+        return C.transpose(1, 2, 0), op, T, bt, bw
     return C.transpose(1, 2, 0), op, T, bt
+
+
+def _schedule_arrays(K: int, R: int, pad_to: int | None = None):
+    casc, slab, xs, pitch, inner = slab_schedule(K, R)
+    S = len(xs)
+    valid = np.ones(S, np.bool_)
+    if pad_to is not None and pad_to > S:
+        pad = pad_to - S
+        casc = np.pad(casc, (0, pad))
+        slab = np.pad(slab, (0, pad))
+        xs = np.pad(xs, (0, pad))
+        pitch = np.pad(pitch, (0, pad), constant_values=1.0)
+        inner = np.pad(inner, (0, pad))
+        valid = np.pad(valid, (0, pad))
+    return tuple(jnp.asarray(a) for a in (casc, slab, xs, pitch, inner, valid))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "n_cascades", "unroll"),
+)
+def sweep_composite(
+    oriented,            # (K, R+1, 4, R+1, R+1) bf16: [s*r, s*g, s*b, s]
+    slab_live,           # (K, R+1) bool
+    o_c,                 # (3,) canonical camera origin
+    eb,                  # (Hi,) intermediate row gnomonic coords
+    ec,                  # (Wi,) intermediate col gnomonic coords
+    near,                # scalar
+    min_transmittance,   # scalar
+    *,
+    resolution: int,
+    n_cascades: int,
+    unroll: int = 1,
+):
+    """Single-device sweep: composite every cascade slab front to back."""
+    sched = _schedule_arrays(n_cascades, resolution)
+    return _composite_over(
+        sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
+        resolution, unroll,
+    )
+
+
+def sweep_composite_sharded(
+    mesh, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
+    *, resolution: int, n_cascades: int,
+):
+    """Slab-range-parallel sweep over the `rays` mesh axis.
+
+    The over-operator is ASSOCIATIVE: each device composites a contiguous
+    front-to-back slice of the slab schedule into a partial
+    (C_i, T_i, op_i, bw_i, bt_i), and the partials fold in schedule order:
+
+        C = sum_i (prod_{j<i} T_j) * C_i,   T = prod_i T_i,
+
+    with the best-weight depth combined by rescaling each device's local
+    best weight by its prefix transmittance (exactly the weight the
+    single-device sweep would have assigned — the fold is bit-faithful up
+    to f32 rounding when min_transmittance=0; the per-pixel minT cutoff is
+    the one non-associative term, since a shard cannot see upstream T, so
+    multichip frames match within ~minT of the single-chip ones).  The
+    volume is replicated (cheap vs sharding: slab reads stay HBM-local);
+    only the tiny schedule arrays shard.  SURVEY.md §2.9.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ndev = mesh.devices.size
+    S = n_cascades * resolution
+    pad_to = -(-S // ndev) * ndev
+    sched = _schedule_arrays(n_cascades, resolution, pad_to)
+
+    def shard_fn_full(sched_loc, oriented, slab_live, o_c, eb, ec):
+        C, op, T, bt, bw = _composite_over(
+            sched_loc, oriented, slab_live, o_c, eb, ec, near,
+            min_transmittance, resolution, return_bw=True,
+            vary_axes=("rays",),
+        )
+        return tuple(x[None] for x in (C, T, op, bw, bt))  # leading shard axis
+
+    fn = shard_map(
+        shard_fn_full, mesh=mesh,
+        in_specs=(P("rays"), P(), P(), P(), P(), P()),
+        out_specs=P("rays"),
+    )
+    C_p, T_p, op_p, bw_p, bt_p = fn(sched, oriented, slab_live, o_c, eb, ec)
+
+    Hi, Wi = eb.shape[0], ec.shape[0]
+    C = jnp.zeros((Hi, Wi, 3), jnp.float32)
+    T = jnp.ones((Hi, Wi), jnp.float32)
+    op = jnp.zeros((Hi, Wi), jnp.float32)
+    bw = jnp.zeros((Hi, Wi), jnp.float32)
+    bt = jnp.zeros((Hi, Wi), jnp.float32)
+    for i in range(ndev):
+        cand = T * bw_p[i]
+        better = cand > bw
+        bw = jnp.where(better, cand, bw)
+        bt = jnp.where(better, bt_p[i], bt)
+        C = C + T[..., None] * C_p[i]
+        op = op + T * op_p[i]
+        T = T * T_p[i]
+    return C, op, T, bt
 
 
 def warp_to_pixels(maps: jnp.ndarray, e_px: jnp.ndarray,

@@ -165,6 +165,44 @@ def test_sweep_cascade_interleave_matches_numpy():
     np.testing.assert_allclose(np.asarray(C), C_ref, atol=0.03)
 
 
+def test_sweep_sharded_matches_single():
+    """Slab-range-parallel sweep on the 8-device mesh == single-device
+    sweep (exact associativity of the over-operator at minT=0; the
+    per-pixel minT cutoff is the only non-associative term)."""
+    from sienerf_tpu.ops.sweep import sweep_composite_sharded
+    from sienerf_tpu.parallel.mesh import make_ray_mesh
+
+    K, R = 2, 16
+    Rv = R + 1
+    rng = np.random.default_rng(7)
+    vol = np.zeros((K, Rv, Rv, Rv, 4), np.float32)
+    sig = rng.uniform(0, 3.0, size=(K, Rv, Rv, Rv)) * (
+        rng.uniform(size=(K, Rv, Rv, Rv)) < 0.2
+    )
+    vol[..., 3] = sig
+    vol[..., :3] = sig[..., None] * rng.uniform(size=(K, Rv, Rv, Rv, 3))
+    oriented = orient_grid(jnp.asarray(vol, jnp.bfloat16), 0, False)
+    slab_live = jnp.ones((K, Rv), bool)
+    o_c = jnp.asarray([-1.3, 0.45, 0.5], jnp.float32)
+    eb = jnp.linspace(-0.2, 0.25, 12)
+    ec = jnp.linspace(-0.22, 0.2, 9)
+
+    C1, op1, T1, bt1 = sweep_composite(
+        oriented, slab_live, o_c, eb, ec, 0.05, 0.0,
+        resolution=R, n_cascades=K,
+    )
+    mesh = make_ray_mesh(8)
+    C8, op8, T8, bt8 = jax.jit(
+        lambda og, sl, oc, b, c: sweep_composite_sharded(
+            mesh, og, sl, oc, b, c, 0.05, 0.0, resolution=R, n_cascades=K,
+        )
+    )(oriented, slab_live, o_c, eb, ec)
+    np.testing.assert_allclose(np.asarray(C8), np.asarray(C1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(op8), np.asarray(op1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(T8), np.asarray(T1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bt8), np.asarray(bt1), atol=1e-4)
+
+
 def test_orient_grid_roundtrip():
     rng = np.random.default_rng(1)
     g = jnp.asarray(rng.normal(size=(2, 5, 5, 5, 4)).astype(np.float32))
@@ -195,6 +233,36 @@ def trained_small():
         key, sub = jax.random.split(key)
         state, loss, _ = eng.train_bundle(state, sub)
     return eng, state, ds
+
+
+def test_render_frame_sweep_multichip_matches_single(trained_small):
+    """Full multichip sweep frame (plane-sharded prep + slab-sharded
+    composite on the 8-device mesh) == the single-chip frame at minT=0
+    (the over-fold is exact; only f32 reassociation differs)."""
+    from sienerf_tpu.engines.nerf_sweep import (
+        render_frame_sweep,
+        render_frame_sweep_multichip,
+    )
+    from sienerf_tpu.ops.optim import inference_params
+    from sienerf_tpu.parallel.mesh import make_ray_mesh
+
+    eng, state, ds = trained_small
+    params = inference_params(state["opt"], state["params"])
+    grid, meta = eng.bake_features(params, state["occ"], resolution=32,
+                                   mode="nearest")
+    cam = ds.xforms[1]
+    focal = tuple(np.asarray(ds.focal_lengths[1], np.float32))
+    one, d1 = render_frame_sweep(
+        eng, params, grid, meta, cam, focal, width=RES, height=RES,
+        min_transmittance=0.0,
+    )
+    mesh = make_ray_mesh(8)
+    many, d8 = render_frame_sweep_multichip(
+        eng, params, grid, meta, cam, focal, mesh, width=RES, height=RES,
+        min_transmittance=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(many), np.asarray(one), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-3)
 
 
 def test_render_frame_sweep_matches_live(trained_small):
