@@ -157,7 +157,7 @@ def prepare_rgba_volume_sharded(engine, params, rows, scale, cam_origin,
     static_argnums=(0,),
     static_argnames=(
         "width", "height", "resolution", "n_cascades", "axis", "flip",
-        "hi", "wi", "unroll",
+        "hi", "wi", "unroll", "interp",
     ),
 )
 def _render_frame_sweep_impl(
@@ -166,6 +166,7 @@ def _render_frame_sweep_impl(
     axis: int, flip: bool, hi: int, wi: int,
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
+    interp: str = "nearest",
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -207,6 +208,7 @@ def _render_frame_sweep_impl(
     C, op, T, bt = sweep_composite(
         oriented, slab_live, o_c, eb, ec, near, minT,
         resolution=resolution, n_cascades=n_cascades, unroll=unroll,
+        interp=interp,
     )
     maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
     outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)
@@ -236,7 +238,7 @@ def _align(x: int, m: int = 128) -> int:
     static_argnums=(0,),
     static_argnames=(
         "width", "height", "resolution", "n_cascades", "axis", "flip",
-        "hi", "wi", "mesh",
+        "hi", "wi", "mesh", "interp",
     ),
 )
 def _render_frame_sweep_multichip_impl(
@@ -244,7 +246,7 @@ def _render_frame_sweep_multichip_impl(
     *, width: int, height: int, resolution: int, n_cascades: int,
     axis: int, flip: bool, hi: int, wi: int, mesh,
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
-    min_transmittance=None, pixel_offset=None,
+    min_transmittance=None, pixel_offset=None, interp: str = "nearest",
 ):
     """Multichip slab-sweep frame: prep sharded over vertex planes,
     composite sharded over slab ranges (associative over-fold —
@@ -288,7 +290,7 @@ def _render_frame_sweep_multichip_impl(
     slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
     C, op, T, bt = sweep_composite_sharded(
         mesh, oriented, slab_live, o_c, eb, ec, near, minT,
-        resolution=resolution, n_cascades=n_cascades,
+        resolution=resolution, n_cascades=n_cascades, interp=interp,
     )
     maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
     outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)

@@ -106,13 +106,26 @@ def canon_coords(vec3: jnp.ndarray, axis: int, flip: bool, is_point: bool):
     return out
 
 
-def _interp_matrix(targets: jnp.ndarray, n_src: int) -> jnp.ndarray:
-    """(M,) continuous source coordinates -> (M, n_src) bilinear hat
+def _interp_matrix(targets: jnp.ndarray, n_src: int,
+                   interp: str = "bilinear") -> jnp.ndarray:
+    """(M,) continuous source coordinates -> (M, n_src) resampling
     weights; rows whose coordinate falls outside [0, n_src-1] are all-zero
     (samples beyond the cascade cube contribute nothing, matching the
-    marcher's oob handling)."""
+    marcher's oob handling).
+
+    interp='bilinear': hat weights.  interp='nearest': one-hot selection
+    (round-half-up) — EXACT in bf16 (weights are 0/1), and the in-plane
+    sampling then matches the gather renderer's nearest-vertex reads:
+    round-3 evidence says fox fur wants resolution, not interpolation
+    (trilinear R160 measured 4 dB WORSE than nearest — NOTES_ROUND3), and
+    the bilinear sweep reproduced exactly that deficit on the near-train
+    split views (NOTES_ROUND4)."""
     src = jax.lax.broadcasted_iota(jnp.float32, (targets.shape[0], n_src), 1)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(targets[:, None] - src))
+    d = targets[:, None] - src
+    if interp == "nearest":
+        w = ((d > -0.5) & (d <= 0.5)).astype(jnp.float32)
+    else:
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
     inb = (targets >= 0.0) & (targets <= n_src - 1)
     return jnp.where(inb[:, None], w, 0.0)
 
@@ -120,7 +133,7 @@ def _interp_matrix(targets: jnp.ndarray, n_src: int) -> jnp.ndarray:
 def _composite_over(
     sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
     resolution: int, unroll: int = 1, return_bw: bool = False,
-    vary_axes=None,
+    vary_axes=None, interp: str = "nearest",
 ):
     """Front-to-back composite of the given slab schedule (a tuple of
     (S,) arrays: casc, slab, x, pitch, inner, valid) onto the intermediate
@@ -152,8 +165,8 @@ def _composite_over(
             lo = 0.5 - 0.5 * pitch * R
             gu = (o_c[1] + x_rel * eb - lo) / pitch  # (Hi,)
             gv = (o_c[2] + x_rel * ec - lo) / pitch  # (Wi,)
-            A = _interp_matrix(gu, Rv).astype(jnp.bfloat16)  # (Hi, Rv)
-            Bm = _interp_matrix(gv, Rv).astype(jnp.bfloat16)  # (Wi, Rv)
+            A = _interp_matrix(gu, Rv, interp).astype(jnp.bfloat16)
+            Bm = _interp_matrix(gv, Rv, interp).astype(jnp.bfloat16)
             # separable bilinear as two MXU matmuls; bf16-ok: interpolation
             # weights in [0,1] and int16-quantized values — 2^-9 relative
             # rounding is far below the bake's own quantization floor
@@ -214,7 +227,7 @@ def _schedule_arrays(K: int, R: int, pad_to: int | None = None):
 
 @partial(
     jax.jit,
-    static_argnames=("resolution", "n_cascades", "unroll"),
+    static_argnames=("resolution", "n_cascades", "unroll", "interp"),
 )
 def sweep_composite(
     oriented,            # (K, R+1, 4, R+1, R+1) bf16: [s*r, s*g, s*b, s]
@@ -228,18 +241,19 @@ def sweep_composite(
     resolution: int,
     n_cascades: int,
     unroll: int = 1,
+    interp: str = "nearest",
 ):
     """Single-device sweep: composite every cascade slab front to back."""
     sched = _schedule_arrays(n_cascades, resolution)
     return _composite_over(
         sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
-        resolution, unroll,
+        resolution, unroll, interp=interp,
     )
 
 
 def sweep_composite_sharded(
     mesh, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
-    *, resolution: int, n_cascades: int,
+    *, resolution: int, n_cascades: int, interp: str = "nearest",
 ):
     """Slab-range-parallel sweep over the `rays` mesh axis.
 
@@ -270,7 +284,7 @@ def sweep_composite_sharded(
         C, op, T, bt, bw = _composite_over(
             sched_loc, oriented, slab_live, o_c, eb, ec, near,
             min_transmittance, resolution, return_bw=True,
-            vary_axes=("rays",),
+            vary_axes=("rays",), interp=interp,
         )
         return tuple(x[None] for x in (C, T, op, bw, bt))  # leading shard axis
 

@@ -159,7 +159,7 @@ def test_sweep_cascade_interleave_matches_numpy():
         orient_grid(jnp.asarray(vol, jnp.bfloat16), 0, False),
         jnp.ones((K, Rv), bool),
         jnp.asarray(o_c), jnp.asarray(eb), jnp.asarray(ec), 0.05, 1e-4,
-        resolution=R, n_cascades=K,
+        resolution=R, n_cascades=K, interp="bilinear",
     )
     np.testing.assert_allclose(np.asarray(T), T_ref, atol=0.02)
     np.testing.assert_allclose(np.asarray(C), C_ref, atol=0.03)

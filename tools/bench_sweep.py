@@ -33,19 +33,16 @@ def psnr(a, b):
 def main():
     from sienerf_tpu.engines.nerf_baked import render_frame_baked
     from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
-    from sienerf_tpu.ops.optim import inference_params
+
+    from tools.profile_render import get_baked
 
     W = int(os.environ.get("W", "1280"))
     H = int(os.environ.get("H", "720"))
+    unroll = int(os.environ.get("SWEEP_UNROLL", "1"))
+    margin = float(os.environ.get("SWEEP_MARGIN", "1.15"))
     eng, state = get_state()
-    params = inference_params(state["opt"], state["params"])
     bitfield = state["occ"]["bitfield"]
-
-    t0 = time.time()
-    grid, meta = eng.bake_features(params, state["occ"], resolution=256,
-                                   mode="nearest", row_bits=16)
-    float(np.asarray(grid["rows"][0, 0]))
-    print(f"# bake R=256 int16: {time.time()-t0:.1f}s", flush=True)
+    grid, meta, params = get_baked(eng, state)
 
     cam = eng.xforms[0]
     fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # native focal at 720p
@@ -55,6 +52,7 @@ def main():
         return render_frame_sweep(
             eng, params, grid, meta, cam, fl, width=W, height=H,
             screen_center=sc, pixel_offset=jnp.asarray(off, jnp.float32),
+            unroll=unroll, margin=margin,
         )
 
     def timeit(name, fn, n=4):

@@ -36,13 +36,18 @@ def main():
     R = int(os.environ.get("BAKE_R", "256"))
     DS = int(os.environ.get("DS", "4"))
     eng, state = get_state()
-    params = inference_params(state["opt"], state["params"])
     bf = state["occ"]["bitfield"]
-    t0 = time.time()
-    grid, meta = eng.bake_features(params, state["occ"], resolution=R,
-                                   mode="nearest", row_bits=16)
-    float(jnp.asarray(grid["rows"][0, 0]))
-    print(f"# bake R={R}: {time.time() - t0:.0f}s")
+    if R == 256:
+        from tools.profile_render import get_baked
+
+        grid, meta, params = get_baked(eng, state)
+    else:
+        params = inference_params(state["opt"], state["params"])
+        t0 = time.time()
+        grid, meta = eng.bake_features(params, state["occ"], resolution=R,
+                                       mode="nearest", row_bits=16)
+        float(jnp.asarray(grid["rows"][0, 0]))
+        print(f"# bake R={R}: {time.time() - t0:.0f}s")
 
     test = load_nerf_dataset(Path(".cache/fox_split/transforms_test.json"),
                              downscale=DS)

@@ -66,6 +66,42 @@ def get_state(n_bundles=48, cache_name=None):
     return eng, state
 
 
+def get_baked(eng, state, resolution=256, row_bits=16, cache_name=None):
+    """Bake (or load the cached bake of) the nearest-mode feature grid.
+
+    The R=256 int16 bake costs ~6 min of TPU through the tunnel; perf
+    iteration on the renderers shouldn't pay it per process.  Cached as an
+    uncompressed npz next to the state cache (~1.7 GB, ~15 s load)."""
+    import jax
+
+    from sienerf_tpu.ops.optim import inference_params
+
+    params = inference_params(state["opt"], state["params"])
+    f = CACHE / (cache_name or f"bake_{resolution}_{row_bits}.npz")
+    if f.exists():
+        blob = np.load(f, allow_pickle=False)
+        meta = {"resolution": int(blob["resolution"]),
+                "mode": "nearest", "n_cascades": int(blob["n_cascades"])}
+        grid = {k: jnp.asarray(blob[k]) for k in blob.files
+                if k not in ("resolution", "n_cascades")}
+        print(f"# loaded cached bake {f.name}")
+        return grid, meta, params
+    t0 = time.time()
+    grid, meta = eng.bake_features(params, state["occ"], resolution=resolution,
+                                   mode="nearest", row_bits=row_bits)
+    jax.block_until_ready(grid["rows"])
+    print(f"# bake R={resolution} int{row_bits}: {time.time()-t0:.0f}s",
+          flush=True)
+    save = {k: np.asarray(v) for k, v in grid.items() if k != "brows"}
+    save["resolution"] = np.int32(meta["resolution"])
+    save["n_cascades"] = np.int32(meta["n_cascades"])
+    tmp = f.with_suffix(".tmp.npz")
+    np.savez(tmp, **save)
+    tmp.rename(f)
+    grid.pop("brows", None)  # parity with the cached-load path
+    return grid, meta, params
+
+
 def timeit(fn, n=10, warmup=2):
     for _ in range(warmup):
         r = fn()
