@@ -165,7 +165,13 @@ def main():
     GATE_CROSS_FLOOR_DB = 20.0
     old_gate = os.environ.get("BENCH_GATE", "parity") == "cross30"
 
-    def baked_frame(w, h, focal, cfg, camera=None, sc=(0.5, 0.5)):
+    def baked_frame(w, h, focal, cfg, camera=None, sc=(0.5, 0.5), po=None):
+        # po: per-rep pixel offset so timing loops never feed IDENTICAL
+        # args — repeated jit calls with identical argument objects can
+        # return cached results on this stack (NOTES_ROUND3 timing gotcha)
+        import jax.numpy as jnp
+
+        po_arr = None if po is None else jnp.asarray(po, jnp.float32)
         if cfg.get("renderer") == "sweep":
             from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
 
@@ -173,13 +179,14 @@ def main():
                 eng, params, grid, meta, camera if camera is not None else cam,
                 focal, width=w, height=h, screen_center=sc,
                 min_transmittance=1e-4 if camera is not None else None,
+                pixel_offset=po_arr,
             )
         return render_frame_baked(
             eng, params, bf, grid, camera if camera is not None else cam,
             focal, width=w, height=h, screen_center=sc,
             resolution=meta["resolution"], mode=meta["mode"],
             n_cascades=meta["n_cascades"], min_transmittance=1e-4
-            if camera is not None else None, **cfg,
+            if camera is not None else None, pixel_offset=po_arr, **cfg,
         )
 
     # --- gate views: held-out split views the bench field never trained on.
@@ -340,10 +347,13 @@ def main():
                 continue
         rgba, _ = baked_frame(W, H, fl, cfg)  # warmup/compile at bench res
         rgba.block_until_ready()
-        t0 = time.time()
-        rgba, _ = baked_frame(W, H, fl, cfg)
         float(np.asarray(rgba[0, 0, 0]))  # fetch-sync (tunnel gotcha)
-        dt1 = time.time() - t0
+        t0 = time.time()
+        for pi in range(2):  # amortized probe: 1-frame probes measured
+            # +-300 ms of tunnel noise and picked the wrong config (r4)
+            rgba, _ = baked_frame(W, H, fl, cfg, po=(0.5, 0.5 + 1e-6 * (pi + 1)))
+        float(np.asarray(rgba[0, 0, 0]))
+        dt1 = (time.time() - t0) / 2
         print(f"# config {name}: parity {delta:+.2f} dB, cross {psnr_bl:.2f} dB, "
               f"{dt1 * 1e3:.1f} ms/frame probe | {json.dumps(detail)}",
               file=sys.stderr)
@@ -364,10 +374,13 @@ def main():
     if cfg is not None:
         rgba, _ = baked_frame(W, H, fl, cfg)
         rgba.block_until_ready()
+        float(np.asarray(rgba[0, 0, 0]))
         t0 = time.time()
-        for _ in range(n_frames):
-            rgba, depth = baked_frame(W, H, fl, cfg)
+        for fi in range(n_frames):
+            rgba, depth = baked_frame(W, H, fl, cfg,
+                                      po=(0.5, 0.5 + 1e-6 * (fi + 1)))
         rgba.block_until_ready()
+        float(np.asarray(rgba[0, 0, 0]))
     else:
         t0 = time.time()
         for _ in range(n_frames):

@@ -14,7 +14,7 @@ test -f .cache/fox_split/transforms_train.json || \
 
 python tools/benchmark_quality.py fox --n_steps 35000 --downscale 4 \
   --checkpoint_every 4096 --save_snapshot .cache/fox35k.snap \
-  --max_train_s 5400
+  --max_train_s 4200
 python tools/benchmark_quality.py fox --snapshot .cache/fox35k.snap \
   --eval_only --renderer baked --downscale 4
 
@@ -23,6 +23,6 @@ test -f .cache/synth_bunny400/transforms_train.json || \
 
 python tools/benchmark_quality.py synth --n_steps 35000 \
   --checkpoint_every 4096 --save_snapshot .cache/synth35k.snap \
-  --max_train_s 2700
+  --max_train_s 1800
 python tools/benchmark_quality.py synth --snapshot .cache/synth35k.snap \
   --eval_only --renderer baked
