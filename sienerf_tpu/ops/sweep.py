@@ -173,6 +173,8 @@ def _composite_over(
             t1 = jnp.dot(A, slab.transpose(1, 0, 2).reshape(Rv, 4 * Rv),
                          preferred_element_type=jnp.float32)
             t1 = t1.reshape(Hi, 4, Rv).astype(jnp.bfloat16)
+            # bf16-ok: same interpolation contraction as above (0/1 or
+            # hat weights x int16-quantized values; f32 accumulation)
             t2 = jnp.dot(t1.transpose(1, 0, 2).reshape(4 * Hi, Rv), Bm.T,
                          preferred_element_type=jnp.float32)
             s = t2.reshape(4, Hi, Wi)
