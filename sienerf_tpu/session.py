@@ -257,7 +257,7 @@ class Session:
                 and "extra_dims" in params and "extra_row" not in kw
             ):
                 kw["extra_row"] = params["extra_dims"][ev]
-            if renderer == "baked":
+            if renderer in ("baked", "sweep"):
                 baked = getattr(self, "_baked", None)
                 if baked is None:
                     baked = self.bake(resolution=bake_res, mode=bake_mode)
@@ -275,7 +275,16 @@ class Session:
                     if spp > 1
                     else None
                 )
-                if renderer == "baked":
+                if renderer == "sweep":
+                    from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
+
+                    grid, meta = baked
+                    rgba, depth = render_frame_sweep(
+                        self.engine, params, grid, meta, cam_i,
+                        tuple(np.asarray(focal, np.float32)),
+                        width=width, height=height, pixel_offset=off, **kw
+                    )
+                elif renderer == "baked":
                     from sienerf_tpu.engines.nerf_baked import render_frame_baked
 
                     grid, meta = baked

@@ -332,6 +332,11 @@ def test_nerf_render_spp_accumulation(tmp_path):
     assert blur.shape == (16, 16, 4)
     assert np.isfinite(blur).all()
 
+    # the slab-sweep renderer rides the same bake plumbing as 'baked'
+    rs = sess.render(16, 16, renderer="sweep", bake_resolution=16)
+    assert rs.shape == (16, 16, 4)
+    assert np.isfinite(rs).all()
+
 
 @pytest.mark.slow
 def test_pyngp_compat_nerf_camera_and_mesh_ops():

@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--n_steps", type=int, default=5000)
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--spp", type=int, default=8)
-    ap.add_argument("--renderer", default="live", choices=["live", "baked"])
+    ap.add_argument("--renderer", default="live", choices=["live", "baked", "sweep"])
     ap.add_argument("--snapshot", default=None, help="resume/eval-only from this snapshot")
     ap.add_argument("--save_snapshot", default=None)
     ap.add_argument("--eval_only", action="store_true")
