@@ -157,7 +157,7 @@ def prepare_rgba_volume_sharded(engine, params, rows, scale, cam_origin,
     static_argnums=(0,),
     static_argnames=(
         "width", "height", "resolution", "n_cascades", "axis", "flip",
-        "hi", "wi", "unroll", "interp",
+        "hi", "wi", "unroll", "interp", "group",
     ),
 )
 def _render_frame_sweep_impl(
@@ -166,7 +166,7 @@ def _render_frame_sweep_impl(
     axis: int, flip: bool, hi: int, wi: int,
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
-    interp: str = "nearest",
+    interp: str = "nearest", group: int = 1,
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -208,7 +208,7 @@ def _render_frame_sweep_impl(
     C, op, T, bt = sweep_composite(
         oriented, slab_live, o_c, eb, ec, near, minT,
         resolution=resolution, n_cascades=n_cascades, unroll=unroll,
-        interp=interp,
+        interp=interp, group=group,
     )
     maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
     outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)

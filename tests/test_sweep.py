@@ -165,6 +165,30 @@ def test_sweep_cascade_interleave_matches_numpy():
     np.testing.assert_allclose(np.asarray(C), C_ref, atol=0.03)
 
 
+def test_sweep_group_matches_single():
+    """group=G slab batching is the same sequential math — frames match
+    group=1 to float tolerance (including the non-divisible pad tail)."""
+    K, R = 2, 8
+    Rv = R + 1
+    rng = np.random.default_rng(11)
+    vol = rng.uniform(0, 2.0, size=(K, Rv, Rv, Rv, 4)).astype(np.float32)
+    vol[..., 3] *= rng.uniform(size=(K, Rv, Rv, Rv)) < 0.3
+    vol[..., :3] *= vol[..., 3:4]
+    oriented = orient_grid(jnp.asarray(vol, jnp.bfloat16), 0, False)
+    sl = jnp.ones((K, Rv), bool)
+    o_c = jnp.asarray([-1.2, 0.5, 0.45], jnp.float32)
+    eb = jnp.linspace(-0.2, 0.2, 6)
+    ec = jnp.linspace(-0.25, 0.2, 7)
+    base = sweep_composite(oriented, sl, o_c, eb, ec, 0.05, 1e-4,
+                           resolution=R, n_cascades=K)
+    for G in (3, 4):
+        got = sweep_composite(oriented, sl, o_c, eb, ec, 0.05, 1e-4,
+                              resolution=R, n_cascades=K, group=G)
+        for a, b in zip(got, base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 def test_sweep_sharded_matches_single():
     """Slab-range-parallel sweep on the 8-device mesh == single-device
     sweep (exact associativity of the over-operator at minT=0; the

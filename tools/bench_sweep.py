@@ -39,6 +39,7 @@ def main():
     W = int(os.environ.get("W", "1280"))
     H = int(os.environ.get("H", "720"))
     unroll = int(os.environ.get("SWEEP_UNROLL", "1"))
+    group = int(os.environ.get("SWEEP_GROUP", "1"))
     margin = float(os.environ.get("SWEEP_MARGIN", "1.15"))
     eng, state = get_state()
     bitfield = state["occ"]["bitfield"]
@@ -52,7 +53,7 @@ def main():
         return render_frame_sweep(
             eng, params, grid, meta, cam, fl, width=W, height=H,
             screen_center=sc, pixel_offset=jnp.asarray(off, jnp.float32),
-            unroll=unroll, margin=margin,
+            unroll=unroll, margin=margin, group=group,
         )
 
     def timeit(name, fn, n=4):
