@@ -363,6 +363,13 @@ class Session:
             self.engine._phase = payload["meta"]["train_phase"]
         if self.engine is not None and "mean_samples" in payload["meta"]:
             self.engine._mean_samples = float(payload["meta"]["mean_samples"])
+        if self._rng_key is None:
+            # resume-from-snapshot without a prior load_file: seed the train
+            # key off the restored step so a resumed run doesn't replay the
+            # exact pre-checkpoint sample sequence
+            self._rng_key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), self.training_step
+            )
         log.success(f"loaded snapshot {path} (step {self.training_step})")
         return payload
 

@@ -81,6 +81,21 @@ def test_snapshot_roundtrip(tmp_path):
     state2, loss2, _ = eng.train_bundle(state2, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss2))
 
+    # SESSION-level resume on a fresh Session (the r4 campaign crash:
+    # load_snapshot without a prior load_file left _rng_key None and no
+    # engine — Session.train then blew up on jax.random.split(None))
+    from sienerf_tpu.common import TestbedMode
+    from sienerf_tpu.session import Session
+
+    sess = Session()
+    sess.mode = TestbedMode.NERF
+    sess.engine = eng
+    sess.network_config = {"some": "config"}
+    sess.load_snapshot(p)
+    assert sess._rng_key is not None
+    sess.train(16)
+    assert sess.training_step == 32
+
 
 def test_mesh_export_from_sdf(tmp_path):
     from sienerf_tpu.ops.meshing import extract_mesh

@@ -117,6 +117,10 @@ def main():
                       f"({time.time() - t0:.0f}s)", file=sys.stderr)
 
     if args.snapshot:
+        # the snapshot stores params + config but not the dataset: build
+        # the engine from the scene first, then swap in the restored state
+        ekw = {"near_density_reg": args.near_reg} if args.near_reg else {}
+        sess.load_file(train_json, downscale=args.downscale, **ekw)
         sess.load_snapshot(args.snapshot)
         if not args.eval_only:
             train_to(args.n_steps)
