@@ -64,11 +64,14 @@ def main():
     key = jax.random.PRNGKey(3)
 
     def timeit(name, fn, per, n=2, donate=False):
-        st = jax.tree.map(jnp.asarray, state) if donate else state
+        # donation consumes buffers: feed REAL copies (jnp.asarray on a
+        # device array is a no-op alias — reusing it crashed this probe's
+        # first run with INVALID_ARGUMENT on the donated buffers)
+        st = jax.tree.map(jnp.copy, state) if donate else state
         r = fn(st, data, key)
         jax.block_until_ready(r)
         if donate:
-            sts = [jax.tree.map(jnp.asarray, state) for _ in range(n)]
+            sts = [jax.tree.map(jnp.copy, state) for _ in range(n)]
         t0 = time.time()
         for i in range(n):
             r = fn(sts[i] if donate else state, data, jax.random.fold_in(key, i + 1))
