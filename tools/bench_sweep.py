@@ -41,9 +41,40 @@ def main():
     unroll = int(os.environ.get("SWEEP_UNROLL", "1"))
     group = int(os.environ.get("SWEEP_GROUP", "1"))
     margin = float(os.environ.get("SWEEP_MARGIN", "1.15"))
-    eng, state = get_state()
-    bitfield = state["occ"]["bitfield"]
-    grid, meta, params = get_baked(eng, state)
+    if os.environ.get("BENCH_SNAP"):
+        # fast-load perf mode: committed 93 MB render snapshot for params
+        # (~1 min) + the cached bake — NOTE the cached bake may be from a
+        # DIFFERENT field than the snapshot params, which is fine for
+        # timing (sweep cost is content-independent) but NOT for PSNR:
+        # use with SWEEP_ONLY=1
+        from pathlib import Path as _P
+
+        import jax
+
+        from sienerf_tpu.engines.nerf import NerfEngine
+        from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+        from sienerf_tpu.io.snapshot import load_render_snapshot
+        from sienerf_tpu.utils.config import load_network_config
+
+        ds = load_nerf_dataset("/root/reference/data/nerf/fox", downscale=4,
+                               max_images=24)
+        cfg = load_network_config("/root/reference/configs/nerf/base.json")
+        eng = NerfEngine.create(cfg, ds, train_batch_size=1 << 18)
+        params, bitfield, smeta = load_render_snapshot(
+            _P(__file__).resolve().parent.parent / "data" / "fox_render.snap")
+        state = {"opt": {}, "params": params, "occ": {"bitfield": bitfield}}
+        blob = np.load(".cache/bake_256_16.npz")
+        meta = {"resolution": int(blob["resolution"]), "mode": "nearest",
+                "n_cascades": int(blob["n_cascades"])}
+        import jax.numpy as _jnp
+
+        grid = {k: _jnp.asarray(blob[k]) for k in blob.files
+                if k not in ("resolution", "n_cascades")}
+        print("# BENCH_SNAP fast-load (snapshot params + cached bake)")
+    else:
+        eng, state = get_state()
+        bitfield = state["occ"]["bitfield"]
+        grid, meta, params = get_baked(eng, state)
 
     cam = eng.xforms[0]
     fl = tuple(np.asarray(eng.focals[0]) * 4.0)  # native focal at 720p
