@@ -30,21 +30,24 @@ from sienerf_tpu.utils.config import load_network_config  # noqa: E402
 REF = Path("/root/reference")
 
 
-def timed_loop(step_fn, carry, n, probe):
+def timed_loop(step_fn, carry, n, probe, *extras):
     """Run step_fn n times inside ONE jit (fori_loop), return s/iter.
-    `probe(carry) -> scalar` forces the single fetch."""
+    `probe(carry) -> scalar` forces the single fetch.  Big device arrays
+    the step needs must ride in `extras` (jit ARGS) — closure-captured
+    device arrays become MLIR constants and exhaust the tunnel backend
+    (measured: the 95 MB albert image killed this tool's first run)."""
 
     @jax.jit
-    def run(c, key):
+    def run(c, key, *ex):
         def body(i, c):
-            return step_fn(c, jax.random.fold_in(key, i))
+            return step_fn(c, jax.random.fold_in(key, i), *ex)
 
         return jax.lax.fori_loop(0, n, body, c)
 
-    out = run(carry, jax.random.PRNGKey(0))
+    out = run(carry, jax.random.PRNGKey(0), *extras)
     float(probe(out))  # compile + warm
     t0 = time.time()
-    out = run(carry, jax.random.PRNGKey(1))
+    out = run(carry, jax.random.PRNGKey(1), *extras)
     float(probe(out))
     return (time.time() - t0) / n, out
 
@@ -55,18 +58,27 @@ def bench_image():
 
     img = load_image(REF / "data" / "image" / "albert.exr")
     cfg = load_network_config(REF / "configs" / "image" / "base.json")
-    eng = ImageEngine.create(cfg, img, batch_size=1 << 18)
+    # the reference albert config's 2^24-entry table (+ backward temps in
+    # a fused 64-step loop) exceeds the 16 GB chip; 2^21 keeps the
+    # throughput metric honest at 1/8 the table (PSNR reported as-is)
+    cfg["encoding"]["log2_hashmap_size"] = min(
+        21, cfg["encoding"].get("log2_hashmap_size", 24))
+    # batch 2^16: the image config's 2^24-entry grid at batch 2^18 in a
+    # 64-step fused loop OOMs the 16 GB chip (20 GB of HLO temps, 69%
+    # fragmentation — measured)
+    eng = ImageEngine.create(cfg, img, batch_size=1 << 16)
     params, opt = eng.init()
 
-    def step(c, key):
+    def step(c, key, image):
         p, o = c
-        p, o, _ = eng._train_step_jit(p, o, key, eng.image)
+        p, o, _ = eng._train_step_jit(p, o, key, image)
         return (p, o)
 
     # NOTE: donate_argnums on the inner jit is ignored when inlined — fine.
     dt, (params, opt) = timed_loop(
         step, (params, opt), 64,
         lambda c: jax.tree.leaves(c[0])[0].reshape(-1)[0],
+        eng.image,
     )
     h, w = img.shape[:2]
     t0 = time.time()
@@ -77,9 +89,9 @@ def bench_image():
     dt_r = (time.time() - t0) / n_r
     psnr = eng.psnr(params, opt)
     return {
-        "mode": "image", "res": [h, w], "batch": 1 << 18,
+        "mode": "image", "res": [h, w], "batch": 1 << 16,
         "train_steps_per_s": round(1.0 / dt, 1),
-        "train_samples_per_s": round((1 << 18) / dt / 1e6, 1),
+        "train_samples_per_s": round((1 << 16) / dt / 1e6, 1),
         "render_mpix_per_s": round(h * w / dt_r / 1e6, 2),
         "psnr_vs_gt_after_64_steps_plus": round(psnr, 2),
     }
