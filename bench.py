@@ -345,7 +345,11 @@ def main():
                 print(f"# config {name}: REJECTED ({'; '.join(fail)}; "
                       f"cross {psnr_bl:.2f})", file=sys.stderr)
                 continue
-        rgba, _ = baked_frame(W, H, fl, cfg)  # warmup/compile at bench res
+        # warmup/compile at bench res — pass a po ARRAY so the compiled
+        # trace signature matches the timed loop (po=None is a different
+        # jit signature; warming it would leave a fresh compile inside the
+        # 2-frame probe — ADVICE r4)
+        rgba, _ = baked_frame(W, H, fl, cfg, po=(0.5, 0.5))
         rgba.block_until_ready()
         float(np.asarray(rgba[0, 0, 0]))  # fetch-sync (tunnel gotcha)
         t0 = time.time()

@@ -42,7 +42,9 @@ from sienerf_tpu.ops.sweep import (
     warp_to_pixels,
 )
 
-E_MAX = 16.0  # gnomonic clamp: rays >86 deg off-axis fall back to bg
+E_MAX = 16.0  # gnomonic clamp: rays >~86 deg off-axis render as background
+# (masked via `good` below — they would otherwise sample the clamped edge
+# of the intermediate image; at normal FOVs no ray comes close)
 
 
 def _shade_planes(engine, params, planes, casc, iplane, scale, cam_origin,
@@ -185,10 +187,9 @@ def _render_frame_sweep_impl(
 
     o_c = canon_coords(o[0], axis, flip, True)
     d_c = canon_coords(d_n, axis, flip, False)
-    good = d_c[:, 0] > 1e-3
-    e_px = jnp.clip(
-        d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3), -E_MAX, E_MAX
-    )
+    e_raw = d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3)
+    good = (d_c[:, 0] > 1e-3) & jnp.all(jnp.abs(e_raw) <= E_MAX, axis=-1)
+    e_px = jnp.clip(e_raw, -E_MAX, E_MAX)
     e_ok = jnp.where(good[:, None], e_px, 0.0)
     big = jnp.float32(1e9)
     elo = jnp.min(jnp.where(good[:, None], e_ok, big), axis=0)
@@ -271,8 +272,9 @@ def _render_frame_sweep_multichip_impl(
     near = max(NERF_RENDERING_NEAR_DISTANCE, engine.near_distance)
     o_c = canon_coords(o[0], axis, flip, True)
     d_c = canon_coords(d_n, axis, flip, False)
-    good = d_c[:, 0] > 1e-3
-    e_px = jnp.clip(d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3), -E_MAX, E_MAX)
+    e_raw = d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3)
+    good = (d_c[:, 0] > 1e-3) & jnp.all(jnp.abs(e_raw) <= E_MAX, axis=-1)
+    e_px = jnp.clip(e_raw, -E_MAX, E_MAX)
     e_ok = jnp.where(good[:, None], e_px, 0.0)
     big = jnp.float32(1e9)
     elo = jnp.min(jnp.where(good[:, None], e_ok, big), axis=0)

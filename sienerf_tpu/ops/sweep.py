@@ -114,7 +114,9 @@ def _interp_matrix(targets: jnp.ndarray, n_src: int,
     marcher's oob handling).
 
     interp='bilinear': hat weights.  interp='nearest': one-hot selection
-    (round-half-up) — EXACT in bf16 (weights are 0/1), and the in-plane
+    (round half DOWN: at an exact half-integer target the lower source
+    index wins, `(d > -0.5) & (d <= 0.5)`) — EXACT in bf16 (weights are
+    0/1), and the in-plane
     sampling then matches the gather renderer's nearest-vertex reads:
     round-3 evidence says fox fur wants resolution, not interpolation
     (trilinear R160 measured 4 dB WORSE than nearest — NOTES_ROUND3), and
