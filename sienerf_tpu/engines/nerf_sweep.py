@@ -159,7 +159,7 @@ def prepare_rgba_volume_sharded(engine, params, rows, scale, cam_origin,
     static_argnums=(0,),
     static_argnames=(
         "width", "height", "resolution", "n_cascades", "axis", "flip",
-        "hi", "wi", "unroll", "interp", "group",
+        "hi", "wi", "unroll", "interp", "group", "impl",
     ),
 )
 def _render_frame_sweep_impl(
@@ -168,7 +168,7 @@ def _render_frame_sweep_impl(
     axis: int, flip: bool, hi: int, wi: int,
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
-    interp: str = "nearest", group: int = 1,
+    interp: str = "nearest", group: int = 1, impl: str = "xla",
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -206,11 +206,19 @@ def _render_frame_sweep_impl(
     oriented = orient_grid(vol, axis, flip)
     slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
 
-    C, op, T, bt = sweep_composite(
-        oriented, slab_live, o_c, eb, ec, near, minT,
-        resolution=resolution, n_cascades=n_cascades, unroll=unroll,
-        interp=interp, group=group,
-    )
+    if impl == "pallas":
+        from sienerf_tpu.ops.sweep_pallas import sweep_composite_pallas
+
+        C, op, T, bt = sweep_composite_pallas(
+            oriented, slab_live, o_c, eb, ec, near, minT,
+            resolution=resolution, n_cascades=n_cascades, interp=interp,
+        )
+    else:
+        C, op, T, bt = sweep_composite(
+            oriented, slab_live, o_c, eb, ec, near, minT,
+            resolution=resolution, n_cascades=n_cascades, unroll=unroll,
+            interp=interp, group=group,
+        )
     maps = jnp.concatenate([C, op[..., None], bt[..., None]], axis=-1)
     outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)
     rgb = jnp.where(good[:, None], outs[:, :3], 0.0)
@@ -342,15 +350,25 @@ def render_frame_sweep_multichip(engine, params, grid, meta, camera_matrix,
 def render_frame_sweep(engine, params, grid, meta, camera_matrix,
                        focal_length, *, width: int, height: int,
                        margin: float = 1.15, hi: int | None = None,
-                       wi: int | None = None, **kw):
+                       wi: int | None = None, impl: str = "auto", **kw):
     """Full-frame slab-sweep render -> (rgba (H,W,4), depth (H,W)).
 
     `grid`/`meta` are bake_feature_grid outputs (mode='nearest' — the
     vertex-row table IS the dense volume, streamed in layout order).  The
     sweep axis and flip are chosen host-side from the central view ray, so
-    each camera octant compiles once (<= 6 variants per frame geometry)."""
+    each camera octant compiles once (<= 6 variants per frame geometry).
+
+    `impl`: 'pallas' (fused single-kernel composite, ops/sweep_pallas.py —
+    the TPU fast path), 'xla' (lax.scan composite, ops/sweep.py), or
+    'auto' (pallas on TPU unless SIENERF_SWEEP_IMPL overrides)."""
     if meta["mode"] != "nearest":
         raise ValueError("sweep renderer needs a mode='nearest' bake")
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "SIENERF_SWEEP_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla")
     from sienerf_tpu.utils.camera import uv_to_ray
 
     sc = kw.get("screen_center", (0.5, 0.5))
@@ -366,5 +384,5 @@ def render_frame_sweep(engine, params, grid, meta, camera_matrix,
         engine, params, grid["rows"], grid["scale"], camera_matrix,
         focal_length, width=width, height=height,
         resolution=meta["resolution"], n_cascades=meta["n_cascades"],
-        axis=axis, flip=flip, hi=hi, wi=wi, **kw,
+        axis=axis, flip=flip, hi=hi, wi=wi, impl=impl, **kw,
     )
