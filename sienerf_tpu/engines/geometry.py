@@ -341,6 +341,12 @@ class GeometryEngine:
         n = width * height
         n_tiles = (n + tile - 1) // tile
         nerf_objs = [o for o in self.objects if o.kind == "nerf" and o.nerf is not None]
+        if renderer == "sweep" and len(nerf_objs) == 1:
+            return self._render_frame_hybrid_sweep(
+                width, height, camera_matrix, focal_length, background,
+                tile, nerf_objs[0])
+        if renderer == "sweep":
+            renderer = "baked"  # sweep routing needs exactly one NeRF object
         bakes = self._ensure_nerf_bakes(nerf_objs) if renderer == "baked" else [
             None for _ in nerf_objs
         ]
@@ -434,6 +440,192 @@ class GeometryEngine:
             tuple(o.nerf_state for o in nerf_objs),
             tuple(b[0] if b else None for b in bakes),
             tuple(jnp.asarray(o.center, jnp.float32) for o in nerf_objs),
+            jnp.asarray(camera_matrix, jnp.float32),
+            jnp.asarray(focal_length, jnp.float32),
+            jnp.asarray(background, jnp.float32),
+        )
+        return np.asarray(rgba), np.asarray(depth)
+
+    def _render_frame_hybrid_sweep(
+        self, width, height, camera_matrix, focal_length, background,
+        tile, obj,
+    ):
+        """Hybrid frame with the NeRF half on the slab-sweep renderer
+        (VERDICT r4 #2): ONE jitted graph that (a) mesh-traces the output
+        pixels (color+z-depth), (b) mesh-traces the intermediate-image
+        directions depth-only to get the per-pixel euclidean stop t, (c)
+        sweep-composites the baked NeRF volume with that t_stop (the march
+        is clamped at the mesh surface exactly like the gather path's
+        t_cap — reference depth test testbed_geometry_training.cu:
+        1843-1871), and (d) alpha-blends NeRF-over-mesh with the same
+        in_front rule as the gather hybrid.  The t_stop plane rides the
+        fused Pallas composite on TPU (ops/sweep_pallas.py)."""
+        import os as _os
+
+        from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
+        from sienerf_tpu.engines.nerf_sweep import (
+            E_MAX,
+            _align,
+            prepare_rgba_volume,
+        )
+        from sienerf_tpu.ops.optim import inference_params
+        from sienerf_tpu.ops.sweep import (
+            canon_coords,
+            orient_grid,
+            sweep_composite,
+            warp_to_pixels,
+        )
+        from sienerf_tpu.ops.sweep_pallas import sweep_composite_pallas
+
+        (grid, meta) = self._ensure_nerf_bakes([obj])[0]
+        if meta["mode"] != "nearest":
+            raise ValueError("sweep hybrid needs a mode='nearest' bake")
+        eng = obj.nerf
+        uv0 = jnp.asarray([[0.5, 0.5]], jnp.float32)
+        _, d0 = uv_to_ray(uv0, (width, height), focal_length, camera_matrix)
+        d0 = np.asarray(d0)[0]
+        axis = int(np.argmax(np.abs(d0)))
+        flip = bool(d0[axis] < 0)
+        hi, wi = _align(1.15 * height), _align(1.15 * width)
+        impl = _os.environ.get(
+            "SIENERF_SWEEP_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+        R, K = meta["resolution"], meta["n_cascades"]
+        has_mesh = self.bvh_dev is not None
+        key = ("hybrid_sweep", width, height, tile, axis, flip, impl, R, K,
+               self.shade_mode, has_mesh)
+        cache = getattr(self, "_frame_jits", None)
+        if cache is None:
+            cache = self._frame_jits = {}
+        if key not in cache:
+
+            @jax.jit
+            def frame(geom, nerf_state, rows, scale, center, cam, fl, bg):
+                n = width * height
+                n_tiles = (n + tile - 1) // tile
+                npad = n_tiles * tile
+                idx = jnp.arange(npad)
+                px = (idx % width).astype(jnp.float32)
+                py = jnp.minimum(idx // width, height - 1).astype(jnp.float32)
+                uv = jnp.stack(
+                    [(px + 0.5) / width, (py + 0.5) / height], axis=-1)
+                o, d = uv_to_ray(uv, (width, height), fl, cam)
+                params = inference_params(nerf_state["opt"],
+                                          nerf_state["params"])
+
+                # (a) mesh pass on the output pixels
+                def mesh_tile(_, od):
+                    oo, dd = od
+                    if has_mesh:
+                        rgb, depth, hit = self._mesh_rays_body(geom, oo, dd)
+                        rgb = jnp.where(hit[:, None], rgb, 0.0)
+                        return 0, (rgb, depth, hit.astype(jnp.float32))
+                    return 0, (jnp.zeros((tile, 3)),
+                               jnp.full((tile,), jnp.inf),
+                               jnp.zeros((tile,)))
+
+                o_t = o.reshape(n_tiles, tile, 3)
+                d_t = d.reshape(n_tiles, tile, 3)
+                _, (mrgb, mdepth, malpha) = jax.lax.scan(
+                    mesh_tile, 0, (o_t, d_t))
+                mrgb = mrgb.reshape(-1, 3)[:n]
+                mdepth = mdepth.reshape(-1)[:n]
+                malpha = malpha.reshape(-1)[:n]
+
+                # sweep geometry in NeRF-local canonical coords
+                o0 = o[0] - center
+                dnl = jnp.linalg.norm(d[:n], axis=-1)
+                d_n = d[:n] / dnl[:, None]
+                o_c = canon_coords(o0, axis, flip, True)
+                d_c = canon_coords(d_n, axis, flip, False)
+                e_raw = d_c[:, 1:] / jnp.maximum(d_c[:, 0:1], 1e-3)
+                good = (d_c[:, 0] > 1e-3) & jnp.all(
+                    jnp.abs(e_raw) <= E_MAX, axis=-1)
+                e_px = jnp.clip(e_raw, -E_MAX, E_MAX)
+                e_ok = jnp.where(good[:, None], e_px, 0.0)
+                big = jnp.float32(1e9)
+                elo = jnp.min(jnp.where(good[:, None], e_ok, big), axis=0)
+                ehi = jnp.max(jnp.where(good[:, None], e_ok, -big), axis=0)
+                span = jnp.maximum(ehi - elo, 1e-3)
+                deb = span[0] / (hi - 2)
+                dec = span[1] / (wi - 2)
+                eb = elo[0] + (jnp.arange(hi, dtype=jnp.float32) - 0.5) * deb
+                ec = elo[1] + (jnp.arange(wi, dtype=jnp.float32) - 0.5) * dec
+
+                # (b) depth-only mesh trace of the intermediate directions
+                # (canonical (1, eb, ec) -> world), euclidean stop t
+                b_ax, c_ax = [ax for ax in (0, 1, 2) if ax != axis]
+                eb2 = jnp.broadcast_to(eb[:, None], (hi, wi)).reshape(-1)
+                ec2 = jnp.broadcast_to(ec[None, :], (hi, wi)).reshape(-1)
+                dw = jnp.zeros((hi * wi, 3), jnp.float32)
+                dw = dw.at[:, axis].set(-1.0 if flip else 1.0)
+                dw = dw.at[:, b_ax].set(eb2)
+                dw = dw.at[:, c_ax].set(ec2)
+                dw = dw / jnp.linalg.norm(dw, axis=-1, keepdims=True)
+                if has_mesh:
+                    mi = hi * wi
+                    mtiles = (mi + tile - 1) // tile
+                    mpad = mtiles * tile
+                    ow = jnp.broadcast_to(o[0], (mpad, 3))
+                    dwp = jnp.concatenate(
+                        [dw, jnp.broadcast_to(jnp.asarray([1.0, 0, 0]),
+                                              (mpad - mi, 3))])
+
+                    def depth_tile(_, od):
+                        oo, dd = od
+                        t, tid, _, _ = self._trace(geom, oo, dd)
+                        return 0, jnp.where(tid >= 0, t, jnp.inf)
+
+                    _, tstop = jax.lax.scan(
+                        depth_tile, 0,
+                        (ow.reshape(mtiles, tile, 3),
+                         dwp.reshape(mtiles, tile, 3)))
+                    t_stop = tstop.reshape(-1)[:mi].reshape(hi, wi)
+                else:
+                    t_stop = jnp.full((hi, wi), jnp.inf, jnp.float32)
+
+                # (c) sweep composite with the per-pixel stop
+                vol = prepare_rgba_volume(eng, params, rows, scale, o0, R, K)
+                oriented = orient_grid(vol, axis, flip)
+                slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
+                near = max(NERF_RENDERING_NEAR_DISTANCE, eng.near_distance)
+                minT = jnp.asarray(eng.render_min_transmittance, jnp.float32)
+                comp = (sweep_composite_pallas if impl == "pallas"
+                        else sweep_composite)
+                C, op, T, bt = comp(
+                    oriented, slab_live, o_c, eb, ec, near, minT, t_stop,
+                    resolution=R, n_cascades=K)
+                maps = jnp.concatenate(
+                    [C, op[..., None], bt[..., None]], axis=-1)
+                outs = warp_to_pixels(maps, e_px, eb[0], deb, ec[0], dec)
+                nrgb = jnp.where(good[:, None], outs[:, :3], 0.0)
+                nop = jnp.where(good, jnp.clip(outs[:, 3], 0.0, 1.0), 0.0)
+                # z-depth in the same units as the mesh pass (t / |d|)
+                ndep = jnp.where(good, outs[:, 4], 0.0) / jnp.maximum(
+                    dnl, 1e-9)
+
+                # (d) depth-tested blend (same rule as the gather hybrid)
+                in_front = (nop > 0.0) & (ndep < mdepth)
+                a = jnp.where(in_front, nop, 0.0)
+                rgb = jnp.where(in_front[:, None],
+                                nrgb + mrgb * (1.0 - a[:, None]), mrgb)
+                alpha = jnp.where(in_front, a + malpha * (1.0 - a), malpha)
+                depth = jnp.where(in_front & (a > 0.2), ndep, mdepth)
+                rgb = rgb + (1.0 - alpha)[:, None] * bg
+                rgba = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+                return (rgba.reshape(height, width, 4),
+                        depth.reshape(height, width))
+
+            cache[key] = frame
+
+        geom = self._geom_dict() if has_mesh else {}
+        if self.shade_mode == "envmap" and self.envmap is not None:
+            geom["envmap"] = self.envmap
+        if self.shade_mode == "grid" and self.probe_grid is not None:
+            geom["probe_grid"] = self.probe_grid
+        rgba, depth = cache[key](
+            geom, obj.nerf_state, grid["rows"], grid["scale"],
+            jnp.asarray(obj.center, jnp.float32),
             jnp.asarray(camera_matrix, jnp.float32),
             jnp.asarray(focal_length, jnp.float32),
             jnp.asarray(background, jnp.float32),

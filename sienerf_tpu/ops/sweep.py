@@ -135,7 +135,7 @@ def _interp_matrix(targets: jnp.ndarray, n_src: int,
 def _composite_over(
     sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
     resolution: int, unroll: int = 1, return_bw: bool = False,
-    vary_axes=None, interp: str = "nearest", group: int = 1,
+    vary_axes=None, interp: str = "nearest", group: int = 1, t_stop=None,
 ):
     """Front-to-back composite of the given slab schedule (a tuple of
     (S,) arrays: casc, slab, x, pitch, inner, valid) onto the intermediate
@@ -201,6 +201,11 @@ def _composite_over(
         sigma = jnp.maximum(s[3], 0.0)
         rgb = s[:3] / jnp.maximum(sigma, 1e-10)[None]
         alive = (T >= min_transmittance) & (t_hat >= near)
+        if t_stop is not None:
+            # per-pixel depth stop (hybrid blend): samples at/behind the
+            # mesh surface contribute nothing — the march is clamped at the
+            # mesh depth exactly like the gather path's t_cap
+            alive = alive & (t_hat <= t_stop)
         alpha = jnp.where(alive, 1.0 - jnp.exp(-sigma * dt), 0.0)
         w = T * alpha
         better = w > bw
@@ -279,6 +284,7 @@ def sweep_composite(
     ec,                  # (Wi,) intermediate col gnomonic coords
     near,                # scalar
     min_transmittance,   # scalar
+    t_stop=None,         # optional (Hi, Wi) per-pixel t cap (hybrid blend)
     *,
     resolution: int,
     n_cascades: int,
@@ -290,7 +296,7 @@ def sweep_composite(
     sched = _schedule_arrays(n_cascades, resolution)
     return _composite_over(
         sched, oriented, slab_live, o_c, eb, ec, near, min_transmittance,
-        resolution, unroll, interp=interp, group=group,
+        resolution, unroll, interp=interp, group=group, t_stop=t_stop,
     )
 
 

@@ -160,3 +160,67 @@ def test_probe_grid_on_trained_nerf():
     assert E.shape == (16, 3)
     assert np.isfinite(np.asarray(E)).all()
     assert (np.asarray(E) >= 0).all()
+
+
+def test_hybrid_sweep_renderer_depth_stop():
+    """renderer="sweep" hybrid (VERDICT r4 #2): the NeRF half rides the
+    slab-sweep with a per-pixel mesh-depth stop.  Properties: (a) pixels
+    covered by an opaque mesh IN FRONT of the NeRF show exactly the mesh
+    (the t_stop clamp kills every NeRF sample behind it), (b) the NeRF
+    still renders off-mesh, (c) coverage agrees with the gather-hybrid
+    (renderer="baked") on the same scene."""
+    from test_nerf_mode import make_dataset, tiny_config
+
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.engines.geometry import GeometryObject
+
+    ds = make_dataset()
+    nerf_eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 13,
+                                 grid_size=32, train_k=32)
+    nerf_eng.train_march_iters = 96
+    nerf_eng._phase = "fast"
+    state = nerf_eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        state, loss, _ = nerf_eng.train_bundle(state, sub)
+
+    import json, tempfile, pathlib
+
+    # cube BETWEEN the camera and the NeRF ball: it must occlude
+    scene_mesh_only = {"geometry": [
+        {"center": [0.55, 0.5, -0.4],
+         "path": "/root/reference/data/geometry/objs/cube1.obj",
+         "type": "Mesh"},
+    ]}
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "scene.json"
+        p.write_text(json.dumps(scene_mesh_only))
+        geo = GeometryEngine.load_scene(p)
+
+    cam = look_at_matrix([0.5, 0.5, -1.6], [0.5, 0.5, 0.5])
+    rgba_mesh, depth_mesh = geo.render_frame(64, 64, cam, (48.0, 48.0),
+                                             tile=64 * 64)
+    mesh_hit = np.isfinite(depth_mesh)
+    assert mesh_hit.sum() > 50  # the cube really covers pixels
+
+    geo.objects.append(GeometryObject(
+        "nerf", np.zeros(3, np.float32), "inline",
+        nerf=nerf_eng, nerf_state=state))
+    rgba_s, depth_s = geo.render_frame(64, 64, cam, (48.0, 48.0),
+                                       tile=64 * 64, renderer="sweep")
+    assert np.isfinite(rgba_s).all()
+    # (a) occluded pixels: the mesh color (t_stop kills every NeRF sample
+    # behind the surface; what remains is legitimate in-front fog of the
+    # under-trained field + e-grid edge interpolation, both tiny)
+    d = np.abs(rgba_s[mesh_hit] - rgba_mesh[mesh_hit])
+    assert d.max() < 0.05, d.max()
+    assert (d < 1e-3).mean() > 0.98, (d < 1e-3).mean()
+    # (b) the ball renders off-mesh
+    nerf_region = (rgba_s[..., 3] > 0.5) & ~mesh_hit
+    assert nerf_region.sum() > 10
+    # (c) coverage agreement with the gather hybrid
+    rgba_b, _ = geo.render_frame(64, 64, cam, (48.0, 48.0), tile=64 * 64,
+                                 renderer="baked")
+    agree = np.mean((rgba_s[..., 3] > 0.5) == (rgba_b[..., 3] > 0.5))
+    assert agree > 0.85, agree
