@@ -169,6 +169,7 @@ def _render_frame_sweep_impl(
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
     interp: str = "nearest", group: int = 1, impl: str = "xla",
+    axis_phase=None,
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -211,11 +212,13 @@ def _render_frame_sweep_impl(
 
         C, op, T, bt = sweep_composite_pallas(
             oriented, slab_live, o_c, eb, ec, near, minT,
+            phase=axis_phase,
             resolution=resolution, n_cascades=n_cascades, interp=interp,
         )
     else:
         C, op, T, bt = sweep_composite(
             oriented, slab_live, o_c, eb, ec, near, minT,
+            phase=axis_phase,
             resolution=resolution, n_cascades=n_cascades, unroll=unroll,
             interp=interp, group=group,
         )

@@ -279,10 +279,18 @@ class Session:
                     from sienerf_tpu.engines.nerf_sweep import render_frame_sweep
 
                     grid, meta = baked
+                    # spp>1: stratified slab-phase jitter — the sweep's
+                    # along-axis quadrature samples plane x + phi*pitch per
+                    # pass (the deterministic sweep gains nothing from
+                    # subpixel jitter alone; live averages jittered
+                    # t-chains, this is the slab-space equivalent)
                     rgba, depth = render_frame_sweep(
                         self.engine, params, grid, meta, cam_i,
                         tuple(np.asarray(focal, np.float32)),
-                        width=width, height=height, pixel_offset=off, **kw
+                        width=width, height=height, pixel_offset=off,
+                        axis_phase=(
+                            jnp.float32((i + 0.5) / spp) if spp > 1 else None),
+                        **kw
                     )
                 elif renderer == "baked":
                     from sienerf_tpu.engines.nerf_baked import render_frame_baked

@@ -318,3 +318,41 @@ def test_render_frame_sweep_matches_live(trained_small):
     agree = np.mean((live[..., 3] > 0.5) == (swept[..., 3] > 0.5))
     assert agree > 0.95, agree
     assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_sweep_phase_semantics():
+    """Slab-phase jitter (spp quadrature): sweep(phase=phi) on volume V must
+    equal the plain sweep over the hand-blended volume V'[m, j] =
+    (1-phi) V[m, j] + phi V[m, j+1] with every sample plane shifted by
+    phi*pitch — the definition, tested against a manually-built schedule."""
+    from sienerf_tpu.ops.sweep import _composite_over, _schedule_arrays
+
+    R, K = 16, 2
+    Rv = R + 1
+    key = jax.random.PRNGKey(5)
+    vol = jax.random.uniform(key, (K, Rv, 4, Rv, Rv), jnp.float32)
+    vol = vol.at[:, :, 3].multiply(4.0).astype(jnp.bfloat16)
+    slab_live = jnp.ones((K, Rv), bool)
+    o_c = jnp.asarray([-0.7, 0.45, 0.55], jnp.float32)
+    eb = jnp.linspace(-0.4, 0.5, 24)
+    ec = jnp.linspace(-0.45, 0.4, 136)
+    phi = 0.375  # exact in bf16
+
+    out_phase = _composite_over(
+        _schedule_arrays(K, R), vol, slab_live, o_c, eb, ec, 0.02, 0.0,
+        R, phase=jnp.float32(phi))
+
+    # hand-blend: V'[m, j] = (1-phi) V[m,j] + phi V[m,j+1] (bf16, as the
+    # phase path computes it), schedule planes shifted by phi*pitch
+    ph = jnp.bfloat16(phi)
+    vol_b = vol * (jnp.bfloat16(1) - ph)
+    vol_b = vol_b.at[:, :-1].add(vol[:, 1:] * ph)
+    vol_b = vol_b.at[:, -1].add(vol[:, -1] * ph)  # j+1 clamped at the face
+    casc, slab, xs, pitch, inner, valid = _schedule_arrays(K, R)
+    sched = (casc, slab, xs + phi * pitch, pitch, inner, valid)
+    out_ref = _composite_over(
+        sched, vol_b, slab_live, o_c, eb, ec, 0.02, 0.0, R)
+
+    for a, b in zip(out_phase, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

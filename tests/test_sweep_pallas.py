@@ -117,3 +117,23 @@ def test_render_frame_pallas_matches_xla(trained_small):
                                rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(db), np.asarray(da),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("phase", [0.0, 0.4375])
+def test_pallas_phase_matches_xla(phase):
+    """Slab-phase jitter: the Pallas kernel's two-block blend equals the
+    XLA path's dynamic-slice blend at the same phase."""
+    R, K = 16, 2
+    vol, slab_live, o_c, eb, ec = _mk(R, K)
+    args = (vol, slab_live, o_c, eb, ec, 0.05, 1e-4)
+    C0, op0, T0, bt0 = sweep_composite(
+        *args, phase=jnp.float32(phase), resolution=R, n_cascades=K)
+    C1, op1, T1, bt1 = sweep_composite_pallas(
+        *args, None, jnp.float32(phase), resolution=R, n_cascades=K,
+        block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C0),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T0),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bt1), np.asarray(bt0),
+                               rtol=1e-4, atol=2e-4)
