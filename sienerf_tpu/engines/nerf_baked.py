@@ -719,6 +719,7 @@ def _render_frame_baked_impl(
     background=(0.0, 0.0, 0.0),
     min_transmittance=None,
     pixel_offset=None,
+    t_phase=None,
     return_stats: bool = False,
     knobs=("coarse", "row", 16, 0),
 ):
@@ -770,6 +771,17 @@ def _render_frame_baked_impl(
             engine.march, bitfield, o_a, d_a, t0_a, t1_a, ia
         )
 
+    if t_phase is not None:
+        # spp chain-phase jitter: shift the whole candidate lattice by
+        # phi*dmin per pass (the closed-form chain of _candidate_chain is
+        # deterministic in t0; live's training marcher jitters the same way
+        # — generate_training_samples_nerf startt += calc_dt*rand).  The
+        # shift happens AFTER the occupied-space advance so it dithers the
+        # quadrature, not the skipping.
+        from sienerf_tpu.common import MIN_CONE_STEPSIZE
+
+        t0_a = jnp.minimum(
+            t0_a + t_phase * MIN_CONE_STEPSIZE * step_scale, t1_a)
     rays_pre = engine._frame_pack_rays(o_a, d_a, dn_a, t0_a, t1_a)
 
     ids0 = jnp.arange(A, dtype=jnp.int32)

@@ -302,7 +302,12 @@ class Session:
                         width=width, height=height,
                         resolution=meta["resolution"], mode=meta["mode"],
                         n_cascades=meta["n_cascades"],
-                        pixel_offset=off, **kw
+                        pixel_offset=off,
+                        # spp>1: stratified chain-phase jitter (dithers the
+                        # deterministic closed-form candidate lattice)
+                        t_phase=(
+                            jnp.float32((i + 0.5) / spp) if spp > 1 else None),
+                        **kw
                     )
                 else:
                     rgba, depth = self.engine.render_frame(

@@ -351,6 +351,11 @@ def test_nerf_render_spp_accumulation(tmp_path):
     rs = sess.render(16, 16, renderer="sweep", bake_resolution=16)
     assert rs.shape == (16, 16, 4)
     assert np.isfinite(rs).all()
+    # spp>1 engages the slab-phase (sweep) / chain-phase (baked) jitter
+    rs2 = sess.render(16, 16, renderer="sweep", bake_resolution=16, spp=2)
+    assert np.isfinite(rs2).all()
+    rb2 = sess.render(16, 16, renderer="baked", bake_resolution=16, spp=2)
+    assert np.isfinite(rb2).all()
 
 
 @pytest.mark.slow
