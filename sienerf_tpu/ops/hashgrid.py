@@ -261,7 +261,13 @@ def _sorted_segment_accumulate(values: jnp.ndarray, idx: jnp.ndarray, n_rows: in
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def hashgrid_encode(config: HashGridConfig, table: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Encode positions. table: (L, T, F) fp32; pos: (N, D) in [0,1]^D.
+    """Encode positions. table: (L, T, F) fp32 (corner layout) or
+    (L, T, C, F) (cell layout) — or either FLATTENED to 2-D (L, -1): the
+    flat boundary layout exists because a (L, T, 4, 2) array tile-pads its
+    minor dims up to 16x when it crosses a jit boundary every training
+    step (ImageEngine at T=2^21 copied 68 GB/step — NOTES_ROUND4); a
+    (L, T*C*F) boundary shape pads nothing and the in-graph reshape fuses
+    into the per-level gather slices.  pos: (N, D) in [0,1]^D.
 
     Returns (N, L*F) float32 features (cast downstream as needed).
     """
@@ -302,10 +308,23 @@ def _geometry_cell(config: HashGridConfig, pos: jnp.ndarray):
     return idx, w, per_dim, offs, scales
 
 
+def _table4(config: HashGridConfig, table):
+    """Canonical table view: reshape a flat 2-D (L, -1) boundary table back
+    to (L, T, C, F) / (L, T, F) (free inside a jit graph)."""
+    if table.ndim != 2:
+        return table
+    if config.layout == "cell":
+        return table.reshape(config.n_levels, config.table_size,
+                             1 << config.n_dims, config.n_features_per_level)
+    return table.reshape(config.n_levels, config.table_size,
+                         config.n_features_per_level)
+
+
 def _encode_fwd_impl(config: HashGridConfig, table, pos):
     L, F = config.n_levels, config.n_features_per_level
     C = 1 << config.n_dims
     N = pos.shape[0]
+    table_in, table = table, _table4(config, table)
     if config.layout == "cell":
         idx, w, _, _, _ = _geometry_cell(config, pos)
         # UNPADDED (C*F = 64B) rows for the forward gathers: at the 2^19-row
@@ -335,11 +354,12 @@ def _encode_fwd_impl(config: HashGridConfig, table, pos):
         wf = cf * w.reshape(-1, 1)
         out = wf.reshape(N, L, C, F).sum(axis=2)  # (N,L,F)
     out = out.reshape(N, L * F)
-    return out, (table, pos)
+    return out, (table_in, pos)
 
 
 def _encode_bwd_impl(config: HashGridConfig, residuals, g):
     table, pos = residuals
+    table_in, table = table, _table4(config, table)
     g = g.astype(jnp.float32)
     L, F = config.n_levels, config.n_features_per_level
     D = config.n_dims
@@ -458,7 +478,7 @@ def _encode_bwd_impl(config: HashGridConfig, residuals, g):
         prod_others = jnp.prod(per_dim[..., others], axis=-1) if others else jnp.ones_like(w)
         dw = sign[None, None, :, d] * prod_others * scales[None, :, None]  # (N,L,C)
         d_pos = d_pos.at[:, d].add(jnp.sum(fdotg * dw, axis=(1, 2)))
-    return d_table, d_pos.astype(pos.dtype)
+    return d_table.reshape(table_in.shape), d_pos.astype(pos.dtype)
 
 
 hashgrid_encode.defvjp(_encode_fwd_impl, _encode_bwd_impl)

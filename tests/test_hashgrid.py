@@ -334,3 +334,26 @@ def test_bwd_bf16_collision_heavy_swamping():
     big = np.abs(d32) > 0.05 * scale
     rel = np.abs(d32[big] - d16[big]) / np.abs(d32[big])
     assert float(np.mean(rel)) < 0.15, np.mean(rel)
+
+
+def test_flat_boundary_table_layout_equivalence():
+    """The 2-D (L, T*C*F) boundary layout (ImageEngine per-step jit
+    boundary; NOTES_ROUND4 tile-pad wall) encodes and differentiates
+    identically to the canonical 4-D table."""
+    import jax
+
+    cfg = _cfg()
+    table = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    flat = table.reshape(table.shape[0], -1)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (257, cfg.n_dims))
+
+    out4 = hashgrid_encode(cfg, table, pos)
+    out2 = hashgrid_encode(cfg, flat, pos)
+    np.testing.assert_array_equal(np.asarray(out4), np.asarray(out2))
+
+    w = jnp.sin(jnp.arange(out4.size, dtype=jnp.float32)).reshape(out4.shape)
+    g4 = jax.grad(lambda t: jnp.vdot(hashgrid_encode(cfg, t, pos), w))(table)
+    g2 = jax.grad(lambda t: jnp.vdot(hashgrid_encode(cfg, t, pos), w))(flat)
+    assert g2.shape == flat.shape
+    np.testing.assert_array_equal(
+        np.asarray(g4).reshape(g2.shape), np.asarray(g2))
