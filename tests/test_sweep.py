@@ -356,3 +356,77 @@ def test_sweep_phase_semantics():
     for a, b in zip(out_phase, out_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sweep_adversarial_wide_fov_aabb8():
+    """Adversarial envelope (VERDICT r4 #9): aabb_scale=8 multi-cascade
+    scene, ultra-wide FOV (~136 deg) camera looking DIAGONALLY, so corner
+    rays exceed the sweep's E_MAX gnomonic clamp (>86 deg off the sweep
+    axis) and some point backward (d_a < 0).  The sweep must degrade
+    gracefully: clamped/backward rays render as BACKGROUND (good=False
+    masking, ADVICE r4 fix), everything stays finite, and rays well inside
+    the envelope still track the live renderer."""
+    from test_nerf_mode import RES, make_dataset, tiny_config
+
+    from sienerf_tpu.engines.nerf import NerfEngine
+    from sienerf_tpu.engines.nerf_sweep import E_MAX, render_frame_sweep
+    from sienerf_tpu.ops.optim import inference_params
+    from sienerf_tpu.ops.sweep import canon_coords
+    from sienerf_tpu.utils.camera import look_at_matrix, pixel_grid_uv, uv_to_ray
+
+    import dataclasses
+
+    ds = make_dataset()
+    ds = dataclasses.replace(ds, aabb_scale=8.0)
+    eng = NerfEngine.create(tiny_config(), ds, train_batch_size=1 << 14,
+                            grid_size=32, train_k=48)
+    assert eng.occ.n_cascades >= 4  # aabb_scale 8 -> multi-cascade
+    eng.train_march_iters = 128
+    eng._phase = "fast"
+    state = eng.init(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        state, loss, _ = eng.train_bundle(state, sub)
+    params = inference_params(state["opt"], state["params"])
+    grid, meta = eng.bake_features(params, state["occ"], resolution=32,
+                                   mode="nearest")
+
+    # diagonal view + ultra-wide FOV: corner rays ~68 deg off the view
+    # axis, view axis ~50 deg off every world axis -> corners exceed E_MAX
+    cam = look_at_matrix([1.6, 1.5, 1.7], [0.5, 0.5, 0.5])
+    W = H = 48
+    focal = (W * 0.2, H * 0.2)
+    bgcol = (0.25, 0.5, 0.75)
+    rgba, depth = render_frame_sweep(
+        eng, params, grid, meta, cam, focal, width=W, height=H,
+        background=bgcol, min_transmittance=1e-4)
+    rgba = np.asarray(rgba)
+    assert np.isfinite(rgba).all() and np.isfinite(np.asarray(depth)).all()
+
+    # recompute the good-mask to locate clamped rays (same math as engine)
+    uv = pixel_grid_uv(W, H).reshape(-1, 2)
+    _, d = uv_to_ray(uv, (W, H), focal, cam)
+    d = np.asarray(d)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    uvc = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    _, d0 = uv_to_ray(uvc, (W, H), focal, cam)
+    d0 = np.asarray(d0)[0]
+    axis = int(np.argmax(np.abs(d0)))
+    flip = bool(d0[axis] < 0)
+    d_c = np.asarray(canon_coords(jnp.asarray(d), axis, flip, False))
+    e = d_c[:, 1:] / np.maximum(d_c[:, 0:1], 1e-3)
+    bad = (d_c[:, 0] <= 1e-3) | (np.abs(e) > E_MAX).any(axis=1)
+    bad = bad.reshape(H, W)
+    assert bad.sum() > 20, bad.sum()  # the view genuinely stresses E_MAX
+
+    # clamped rays = exact background, zero opacity
+    np.testing.assert_allclose(
+        rgba[bad][:, :3], np.broadcast_to(bgcol, rgba[bad][:, :3].shape),
+        atol=1e-5)
+    np.testing.assert_allclose(rgba[bad][:, 3], 0.0, atol=1e-5)
+
+    # in-envelope rays still see the scene (ball content renders)
+    good_px = ~bad
+    assert rgba[good_px][:, 3].max() > 0.3
