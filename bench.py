@@ -448,14 +448,27 @@ def main():
             cam_h = look_at_matrix(np.asarray(cam_pos0, np.float32),
                                    np.asarray(target0, np.float32))
             fl_h = (420.0 * W / 480.0, 420.0 * W / 480.0)
-            geo.render_frame(W, H, cam_h, fl_h, background=(0.0, 0.0, 0.0),
-                             tile=1 << 14, renderer="baked")  # compile+warm
+            # round 5: the NeRF half rides the slab-sweep with a per-pixel
+            # mesh-depth stop (geometry._render_frame_hybrid_sweep);
+            # gather routing stays as the fallback if the sweep path fails
+            hyb_renderer = os.environ.get("BENCH_HYBRID_RENDERER", "sweep")
+            try:
+                geo.render_frame(W, H, cam_h, fl_h,
+                                 background=(0.0, 0.0, 0.0),
+                                 tile=1 << 14, renderer=hyb_renderer)
+            except Exception as e:  # noqa: BLE001
+                print(f"# hybrid sweep routing failed ({e!r}); "
+                      "falling back to baked", file=sys.stderr)
+                hyb_renderer = "baked"
+                geo.render_frame(W, H, cam_h, fl_h,
+                                 background=(0.0, 0.0, 0.0),
+                                 tile=1 << 14, renderer=hyb_renderer)
             t0 = time.time()
             rgba_h, _ = geo.render_frame(W, H, cam_h, fl_h,
                                          background=(0.0, 0.0, 0.0),
-                                         tile=1 << 14, renderer="baked")
+                                         tile=1 << 14, renderer=hyb_renderer)
             hybrid_ms = (time.time() - t0) * 1e3
-            print(f"# hybrid {W}x{H} (mesh+baked nerf, adv="
+            print(f"# hybrid {W}x{H} (mesh+{hyb_renderer} nerf, adv="
                   f"{os.environ.get('SIENERF_ADV')}): {hybrid_ms:.0f} ms/frame "
                   f"(alpha {float(rgba_h[..., 3].mean()):.3f})", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — report, never kill the bench

@@ -58,11 +58,16 @@ def bench_image():
 
     img = load_image(REF / "data" / "image" / "albert.exr")
     cfg = load_network_config(REF / "configs" / "image" / "base.json")
-    # the reference albert config's 2^24-entry table (+ backward temps in
-    # a fused 64-step loop) exceeds the 16 GB chip; 2^21 keeps the
-    # throughput metric honest at 1/8 the table (PSNR reported as-is)
+    # chip-memory cap (documented): the reference albert config asks for
+    # 2^24 rows; our CELL layout carries 2^D*F floats per row, so the f32
+    # master + 2 Adam moments at 2^24 is ~26 GB — over the 16 GB chip no
+    # matter the graph.  2^22 rows = the same parameter budget as a
+    # corner-layout 2^24 table (~2.1 GB master, 6.4 GB with moments) and
+    # fits with the round-5 flat boundary layout (the (L,T,4,2) tile-pad
+    # copy that killed 2^21 in r4 is gone — ops/hashgrid.py flat tables).
     cfg["encoding"]["log2_hashmap_size"] = min(
-        21, cfg["encoding"].get("log2_hashmap_size", 24))
+        int(os.environ.get("IMG_LOG2_T", "22")),
+        cfg["encoding"].get("log2_hashmap_size", 24))
     # batch 2^16: the image config's 2^24-entry grid at batch 2^18 in a
     # 64-step fused loop OOMs the 16 GB chip (20 GB of HLO temps, 69%
     # fragmentation — measured)
