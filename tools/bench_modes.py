@@ -15,6 +15,7 @@ Usage: python tools/bench_modes.py [image|sdf|volume|all]
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
