@@ -283,7 +283,13 @@ def main():
     chosen, chosen_dt, chosen_psnr, chosen_delta = None, float("inf"), 0.0, 0.0
     chosen_detail = {}
     for name, cfg in CONFIGS:
-        baked_s, _ = baked_frame(lw, lh, fl_s, cfg)
+        try:
+            baked_s, _ = baked_frame(lw, lh, fl_s, cfg)
+        except Exception as e:  # noqa: BLE001 — a config (e.g. a Pallas
+            # compile on a new toolchain) must never kill the bench ladder
+            print(f"# config {name}: RENDER FAILED ({e!r}) — skipped",
+                  file=sys.stderr)
+            continue
         mse_bl = float(np.mean((live - np.asarray(baked_s[..., :3])) ** 2))
         psnr_bl = -10 * np.log10(max(mse_bl, 1e-10))
         detail = {}
