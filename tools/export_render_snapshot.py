@@ -15,6 +15,8 @@ the converged field is the apples-to-apples protocol — and the field must
 survive box wipes to keep rounds comparable.
 
 Usage: python tools/export_render_snapshot.py .cache/fox_16k.pkl data/fox_render.snap [fp8|fp16]
+       (also accepts a Session .snap/.ingp checkpoint as input — round 5:
+       the 35k campaign snapshots re-anchor the committed bench field)
 """
 
 import pickle
@@ -57,9 +59,26 @@ def dequantize_grid_fp8(q: np.ndarray, scale: np.ndarray, shape):
 def main():
     cache_in, snap_out = sys.argv[1], sys.argv[2]
     quant = sys.argv[3] if len(sys.argv) > 3 else "fp8"
-    with open(cache_in, "rb") as fh:
-        blob = pickle.load(fh)
-    state = blob["state"]
+    try:
+        with open(cache_in, "rb") as fh:
+            blob = pickle.load(fh)
+        state = blob["state"]
+    except Exception:
+        # msgpack Session snapshot (io/snapshot.py) — the campaign
+        # checkpoint format
+        from sienerf_tpu.io.snapshot import load_snapshot
+
+        payload = load_snapshot(cache_in)
+        state = payload["state"]
+        if "step" not in state:
+            state = dict(state)
+            state["step"] = np.asarray(
+                payload.get("meta", {}).get("training_step", 0))
+        blob = {
+            "phase": payload.get("meta", {}).get("phase", "fast"),
+            "mean_samples": payload.get("meta", {}).get("mean_samples", 0.0),
+            "train_paths": payload.get("meta", {}).get("train_paths"),
+        }
 
     from sienerf_tpu.io.snapshot import save_snapshot
     from sienerf_tpu.ops.optim import inference_params
@@ -81,6 +100,14 @@ def main():
     # cache predates the recording
     if blob.get("train_paths"):
         meta["train_paths"] = list(blob["train_paths"])
+    elif len(sys.argv) > 4:
+        # record the training image list from the split transforms json
+        # (campaign snapshots don't carry it; the bench gate needs it to
+        # pick genuinely held-out views — ADVICE r3)
+        import json
+
+        tj = json.loads(Path(sys.argv[4]).read_text())
+        meta["train_paths"] = [f["file_path"] for f in tj["frames"]]
     if quant == "fp8":
         grid = params.pop("grid")
         q, scale = quantize_grid_fp8(grid)
