@@ -47,13 +47,34 @@ E_MAX = 16.0  # gnomonic clamp: rays >~86 deg off-axis render as background
 # of the intermediate image; at normal FOVs no ray comes close)
 
 
+import os as _os
+
+# measured on TPU (tools/profile_sweep_split.py): CH=1 158.6 ms,
+# CH=4 165, CH=16 209 — the per-plane scan keeps each step's
+# intermediates VMEM/cache-local; bigger chunks spill to HBM.
+_SHADE_CHUNK = int(_os.environ.get("SIENERF_SWEEP_CHUNK", "1"))
+
+
 def _shade_planes(engine, params, planes, casc, iplane, scale, cam_origin,
-                  resolution: int, n_cascades: int):
+                  resolution: int, n_cascades: int, chunk: int | None = None):
     """Scan-shade a stack of vertex planes: (P, (R+1)^2, F/2|F/4) rows ->
     (P, (R+1)^2, 4) bf16 premultiplied rgba (the shared unit behind the
-    single-device and plane-sharded prep)."""
+    single-device and plane-sharded prep).
+
+    `chunk` planes shade per scan step; 1 is the measured TPU optimum
+    (bigger chunks spill the fused intermediates to HBM — see
+    _SHADE_CHUNK note)."""
     R, K = resolution, n_cascades
     Rv = R + 1
+    P = planes.shape[0]
+    CH = max(1, min(_SHADE_CHUNK if chunk is None else chunk, P))
+    Pp = -(-P // CH) * CH
+    if Pp > P:
+        planes = jnp.concatenate(
+            [planes,
+             jnp.broadcast_to(planes[:1], (Pp - P,) + planes.shape[1:])])
+        casc = jnp.concatenate([casc, jnp.zeros(Pp - P, casc.dtype)])
+        iplane = jnp.concatenate([iplane, jnp.zeros(Pp - P, iplane.dtype)])
     bits = row_bits(planes)
     extra = None
     if engine.net.n_extra_dims:
@@ -61,22 +82,29 @@ def _shade_planes(engine, params, planes, casc, iplane, scale, cam_origin,
         if extra is None:
             extra = jnp.zeros((engine.net.n_extra_dims,), jnp.float32)
 
-    jj = (jnp.arange(Rv * Rv, dtype=jnp.int32) // Rv).astype(jnp.float32)
-    kk = (jnp.arange(Rv * Rv, dtype=jnp.int32) % Rv).astype(jnp.float32)
+    M = CH * Rv * Rv
+    jj = jnp.tile((jnp.arange(Rv * Rv, dtype=jnp.int32) // Rv), CH)
+    kk = jnp.tile((jnp.arange(Rv * Rv, dtype=jnp.int32) % Rv), CH)
+    jjf, kkf = jj.astype(jnp.float32), kk.astype(jnp.float32)
 
-    def one_plane(carry, xs):
-        plane, m, i = xs
-        side = jnp.exp2(m.astype(jnp.float32))
+    def one_chunk(carry, xs):
+        pl, m, i = xs  # (CH, Rv^2, Fq), (CH,), (CH,)
+        rowsf = pl.reshape(M, pl.shape[-1])
+        m_r = jnp.repeat(m, Rv * Rv)               # (M,)
+        i_r = jnp.repeat(i, Rv * Rv).astype(jnp.float32)
+        side = jnp.exp2(m_r.astype(jnp.float32))   # (M,)
         lo = 0.5 - 0.5 * side
-        pos = jnp.stack(
-            [jnp.full_like(jj, i.astype(jnp.float32)), jj, kk], axis=-1
-        ) / R * side + lo  # (Rv^2, 3)
-        sc = jnp.zeros((scale.shape[-1],), jnp.float32)
+        pos = (jnp.stack([i_r, jjf, kkf], axis=-1) / R * side[:, None]
+               + lo[:, None])                      # (M, 3)
+        # K-way select, NOT a gather: a (M,) row gather from the tiny
+        # scale table is 1M descriptors/chunk (measured 2x the whole prep)
+        sc = jnp.zeros((M, scale.shape[-1]), jnp.float32)
         for k in range(K):
-            sc = jnp.where(m == k, scale[k], sc)
-        raw, sent = _decode_rows(plane, sc, bits)
+            sc = jnp.where((m_r == k)[:, None], scale[k], sc)
+        raw, sent = _decode_rows(rowsf, sc, bits)
         dens = jnp.where(
-            sent, 0.0, apply_density_activation(raw[:, 0], engine.net.density_activation)
+            sent, 0.0,
+            apply_density_activation(raw[:, 0], engine.net.density_activation)
         )
         dvec = pos - cam_origin
         dvec = dvec / jnp.maximum(
@@ -94,10 +122,14 @@ def _shade_planes(engine, params, planes, casc, iplane, scale, cam_origin,
         out = jnp.concatenate(
             [rgb * dens[:, None], dens[:, None]], axis=-1
         ).astype(jnp.bfloat16)
-        return carry, out
+        return carry, out.reshape(CH, Rv * Rv, 4)
 
-    _, vol = jax.lax.scan(one_plane, None, (planes, casc, iplane))
-    return vol
+    _, vol = jax.lax.scan(
+        one_chunk, None,
+        (planes.reshape(Pp // CH, CH, Rv * Rv, planes.shape[-1]),
+         casc.reshape(Pp // CH, CH),
+         iplane.reshape(Pp // CH, CH)))
+    return vol.reshape(Pp, Rv * Rv, 4)[:P]
 
 
 def prepare_rgba_volume(engine, params, rows, scale, cam_origin,
@@ -159,7 +191,7 @@ def prepare_rgba_volume_sharded(engine, params, rows, scale, cam_origin,
     static_argnums=(0,),
     static_argnames=(
         "width", "height", "resolution", "n_cascades", "axis", "flip",
-        "hi", "wi", "unroll", "interp", "group", "impl",
+        "hi", "wi", "unroll", "interp", "group", "impl", "packed",
     ),
 )
 def _render_frame_sweep_impl(
@@ -169,7 +201,7 @@ def _render_frame_sweep_impl(
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
     interp: str = "nearest", group: int = 1, impl: str = "xla",
-    axis_phase=None,
+    axis_phase=None, packed: bool = False,
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -238,11 +270,39 @@ def _render_frame_sweep_impl(
     else:
         rgb = rgb + (1.0 - opacity)[:, None] * bg
     rgba = jnp.concatenate([rgb, opacity[:, None]], axis=-1)
+    if packed:
+        # ONE channel-major (5, H, W) f32 boundary array: ANY (n, 4|5)
+        # materialization tile-pads its minor dim up to 25x (~470 MB per
+        # plane set — measured ~67+ ms/frame, r5); channel-major rows are
+        # lane-aligned so the epilogue fusion writes the output directly.
+        out5 = jnp.stack([rgba[:, 0], rgba[:, 1], rgba[:, 2], rgba[:, 3],
+                          depth], axis=0)
+        return out5.reshape(5, height, width)
     return rgba.reshape(height, width, 4), depth.reshape(height, width)
 
 
 def _align(x: int, m: int = 128) -> int:
     return -(-int(x) // m) * m
+
+
+def _pick_axis(camera_matrix, focal_length, width, height,
+               screen_center=(0.5, 0.5)):
+    """Sweep axis/flip from the central view ray — PURE HOST numpy.
+
+    The r4 wrapper ran uv_to_ray on device and fetched one ray per frame
+    call: on the tunneled box that is a ~30 ms RTT AND a pipeline sync per
+    frame (measured: 190 -> 420+ ms/frame).  The axis pick only needs the
+    dominant axis of the pinhole center direction, so lens distortion is
+    irrelevant here."""
+    cam = np.asarray(camera_matrix, np.float32)
+    sc = np.asarray(screen_center, np.float32)
+    fl = np.asarray(focal_length, np.float32)
+    x = (0.5 - sc[0]) * width / fl[0]
+    y = (0.5 - sc[1]) * height / fl[1]
+    d0 = cam[:3, :3] @ np.asarray([x, y, 1.0], np.float32)
+    axis = int(np.argmax(np.abs(d0)))
+    return axis, bool(d0[axis] < 0)
+
 
 
 @partial(
@@ -331,15 +391,8 @@ def render_frame_sweep_multichip(engine, params, grid, meta, camera_matrix,
     """Multichip full-frame slab-sweep render (see the impl docstring)."""
     if meta["mode"] != "nearest":
         raise ValueError("sweep renderer needs a mode='nearest' bake")
-    from sienerf_tpu.utils.camera import uv_to_ray
-
     sc = kw.get("screen_center", (0.5, 0.5))
-    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
-    _, d0 = uv_to_ray(uv, (width, height), focal_length, camera_matrix, sc,
-                      engine.lens)
-    d0 = np.asarray(d0)[0]
-    axis = int(np.argmax(np.abs(d0)))
-    flip = bool(d0[axis] < 0)
+    axis, flip = _pick_axis(camera_matrix, focal_length, width, height, sc)
     hi = hi or _align(margin * height)
     wi = wi or _align(margin * width)
     return _render_frame_sweep_multichip_impl(
@@ -353,8 +406,11 @@ def render_frame_sweep_multichip(engine, params, grid, meta, camera_matrix,
 def render_frame_sweep(engine, params, grid, meta, camera_matrix,
                        focal_length, *, width: int, height: int,
                        margin: float = 1.15, hi: int | None = None,
-                       wi: int | None = None, impl: str = "auto", **kw):
-    """Full-frame slab-sweep render -> (rgba (H,W,4), depth (H,W)).
+                       wi: int | None = None, impl: str = "auto",
+                       packed: bool = False, **kw):
+    """Full-frame slab-sweep render -> (rgba (H,W,4), depth (H,W)), or ONE
+    packed (H, W*5) array when `packed=True` (view it as (H, W, 5):
+    [..., :4] rgba, [..., 4] depth — the fast boundary layout).
 
     `grid`/`meta` are bake_feature_grid outputs (mode='nearest' — the
     vertex-row table IS the dense volume, streamed in layout order).  The
@@ -372,20 +428,13 @@ def render_frame_sweep(engine, params, grid, meta, camera_matrix,
         impl = os.environ.get(
             "SIENERF_SWEEP_IMPL",
             "pallas" if jax.default_backend() == "tpu" else "xla")
-    from sienerf_tpu.utils.camera import uv_to_ray
-
     sc = kw.get("screen_center", (0.5, 0.5))
-    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
-    _, d0 = uv_to_ray(uv, (width, height), focal_length, camera_matrix, sc,
-                      engine.lens)
-    d0 = np.asarray(d0)[0]
-    axis = int(np.argmax(np.abs(d0)))
-    flip = bool(d0[axis] < 0)
+    axis, flip = _pick_axis(camera_matrix, focal_length, width, height, sc)
     hi = hi or _align(margin * height)
     wi = wi or _align(margin * width)
     return _render_frame_sweep_impl(
         engine, params, grid["rows"], grid["scale"], camera_matrix,
         focal_length, width=width, height=height,
         resolution=meta["resolution"], n_cascades=meta["n_cascades"],
-        axis=axis, flip=flip, hi=hi, wi=wi, impl=impl, **kw,
+        axis=axis, flip=flip, hi=hi, wi=wi, impl=impl, packed=packed, **kw,
     )

@@ -110,7 +110,9 @@ def _sweep_kernel(
     def weights(tgt, rows, cols, iota_dim):
         """Interp weight matrix (rows, cols) for continuous targets `tgt`
         broadcast along iota_dim (the source-index axis)."""
-        src = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), iota_dim)
+        # int32 iota: Mosaic's tpu.iota is integer-only
+        src = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, cols), iota_dim).astype(jnp.float32)
         d = tgt - src
         if interp == "nearest":
             w = ((d > -0.5) & (d <= 0.5)).astype(jnp.float32)

@@ -284,14 +284,17 @@ class Session:
                     # pass (the deterministic sweep gains nothing from
                     # subpixel jitter alone; live averages jittered
                     # t-chains, this is the slab-space equivalent)
-                    rgba, depth = render_frame_sweep(
+                    # packed (H, W*5) boundary layout: the (H, W, 4)
+                    # output costs ~67 ms/frame in tile-pad conversion
+                    out5 = render_frame_sweep(
                         self.engine, params, grid, meta, cam_i,
                         tuple(np.asarray(focal, np.float32)),
                         width=width, height=height, pixel_offset=off,
                         axis_phase=(
                             jnp.float32((i + 0.5) / spp) if spp > 1 else None),
-                        **kw
+                        packed=True, **kw
                     )
+                    rgba = np.moveaxis(np.asarray(out5), 0, -1)[..., :4]
                 elif renderer == "baked":
                     from sienerf_tpu.engines.nerf_baked import render_frame_baked
 
