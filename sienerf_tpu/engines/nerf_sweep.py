@@ -201,7 +201,7 @@ def _render_frame_sweep_impl(
     screen_center=(0.5, 0.5), background=(0.0, 0.0, 0.0),
     min_transmittance=None, pixel_offset=None, unroll: int = 1,
     interp: str = "nearest", group: int = 1, impl: str = "xla",
-    axis_phase=None, packed: bool = False,
+    axis_phase=None, packed: bool = False, rows_fm=None,
 ):
     from sienerf_tpu.common import NERF_RENDERING_NEAR_DISTANCE
 
@@ -233,13 +233,40 @@ def _render_frame_sweep_impl(
     eb = elo[0] + (jnp.arange(hi, dtype=jnp.float32) - 0.5) * deb
     ec = elo[1] + (jnp.arange(wi, dtype=jnp.float32) - 0.5) * dec
 
-    vol = prepare_rgba_volume(
-        engine, params, rows, scale, o[0], resolution, n_cascades
-    )
-    oriented = orient_grid(vol, axis, flip)
-    slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
+    if impl == "pallas" and rows_fm is not None:
+        # fully fused prep: the shade kernel emits the axis-0-oriented,
+        # 384-padded composite input directly (ops/shade_pallas.py); the
+        # canonical flip rides the composite's schedule (data_flip), so
+        # the only remaining volume op is the axis 1/2 transpose.
+        from sienerf_tpu.ops.shade_pallas import JP, shade_volume_pallas
+        from sienerf_tpu.ops.sweep_pallas import sweep_composite_pallas
 
-    if impl == "pallas":
+        Rv = resolution + 1
+        volp = shade_volume_pallas(
+            rows_fm, scale, o[0], tuple(params["rgb_mlp"]),
+            resolution=resolution, n_cascades=n_cascades,
+            density_act=engine.net.density_activation.name.lower(),
+            rgb_act=engine.net.rgb_activation.name.lower(),
+        )
+        if axis == 0:
+            pv = volp
+        elif axis == 1:
+            pv = jnp.pad(jnp.transpose(volp, (0, 3, 2, 1, 4)),
+                         ((0, 0), (0, 0), (0, 0), (0, JP - Rv), (0, 0)))
+        else:
+            pv = jnp.pad(jnp.transpose(volp, (0, 4, 2, 1, 3)),
+                         ((0, 0), (0, 0), (0, 0), (0, JP - Rv), (0, 0)))
+        C, op, T, bt = sweep_composite_pallas(
+            pv, None, o_c, eb, ec, near, minT, phase=axis_phase,
+            resolution=resolution, n_cascades=n_cascades, interp=interp,
+            prepadded=True, data_flip=flip,
+        )
+    elif impl == "pallas":
+        vol = prepare_rgba_volume(
+            engine, params, rows, scale, o[0], resolution, n_cascades
+        )
+        oriented = orient_grid(vol, axis, flip)
+        slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
         from sienerf_tpu.ops.sweep_pallas import sweep_composite_pallas
 
         C, op, T, bt = sweep_composite_pallas(
@@ -248,6 +275,11 @@ def _render_frame_sweep_impl(
             resolution=resolution, n_cascades=n_cascades, interp=interp,
         )
     else:
+        vol = prepare_rgba_volume(
+            engine, params, rows, scale, o[0], resolution, n_cascades
+        )
+        oriented = orient_grid(vol, axis, flip)
+        slab_live = jnp.any(oriented[:, :, 3] > 0, axis=(2, 3))
         C, op, T, bt = sweep_composite(
             oriented, slab_live, o_c, eb, ec, near, minT,
             phase=axis_phase,
@@ -403,6 +435,26 @@ def render_frame_sweep_multichip(engine, params, grid, meta, camera_matrix,
     )
 
 
+def _fused_prep_eligible(engine, grid) -> bool:
+    """The fused shade kernel covers the standard nerf config (16-bit
+    bake, SH deg 4, 32->64->64->3 ReLU color MLP, no extra dims); anything
+    else falls back to the XLA scan prep inside the pallas frame."""
+    net = engine.net
+    mlp = net.rgb_mlp
+    return (
+        grid["rows"].shape[-1] * 2 == 16
+        and net.n_extra_dims == 0
+        and net.sh_degree == 4
+        and mlp.n_input_dims == 32
+        and mlp.activation.lower() == "relu"
+        and mlp.output_activation.lower() == "none"
+        and net.density_activation.name.lower() in (
+            "exponential", "relu", "logistic")
+        and net.rgb_activation.name.lower() in (
+            "logistic", "exponential", "relu")
+    )
+
+
 def render_frame_sweep(engine, params, grid, meta, camera_matrix,
                        focal_length, *, width: int, height: int,
                        margin: float = 1.15, hi: int | None = None,
@@ -432,9 +484,21 @@ def render_frame_sweep(engine, params, grid, meta, camera_matrix,
     axis, flip = _pick_axis(camera_matrix, focal_length, width, height, sc)
     hi = hi or _align(margin * height)
     wi = wi or _align(margin * width)
+    rows_fm = None
+    if impl == "pallas" and _fused_prep_eligible(engine, grid):
+        rows_fm = grid.get("rows_fm")
+        if rows_fm is None:
+            # camera-independent field-major table: build once per bake
+            # and cache on the grid dict
+            from sienerf_tpu.ops.shade_pallas import build_fieldmajor_planes
+
+            rows_fm = build_fieldmajor_planes(
+                grid["rows"], meta["resolution"], meta["n_cascades"])
+            grid["rows_fm"] = rows_fm
     return _render_frame_sweep_impl(
         engine, params, grid["rows"], grid["scale"], camera_matrix,
         focal_length, width=width, height=height,
         resolution=meta["resolution"], n_cascades=meta["n_cascades"],
-        axis=axis, flip=flip, hi=hi, wi=wi, impl=impl, packed=packed, **kw,
+        axis=axis, flip=flip, hi=hi, wi=wi, impl=impl, packed=packed,
+        rows_fm=rows_fm, **kw,
     )

@@ -160,7 +160,7 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "n_cascades", "interp", "block_rows",
-                     "interpret"),
+                     "interpret", "prepadded", "data_flip"),
 )
 def sweep_composite_pallas(
     oriented,            # (K, R+1, 4, R+1, R+1) bf16 [s*r, s*g, s*b, s]
@@ -180,6 +180,8 @@ def sweep_composite_pallas(
     interp: str = "nearest",
     block_rows: int = 128,
     interpret: bool = False,
+    prepadded: bool = False,
+    data_flip: bool = False,
 ):
     """Drop-in fused replacement for ops/sweep.sweep_composite (same
     returns: rgb (Hi,Wi,3), opacity, T, depth_t), plus an optional
@@ -200,9 +202,16 @@ def sweep_composite_pallas(
 
     casc, slab, xs, pitch, inner = slab_schedule(K, R)
     S = len(xs)
-    jn = np.minimum(slab + 1, R)
+    # data_flip: the canonical frame mirrors the sweep axis (x -> 1-x).
+    # Instead of physically flipping the multi-GB volume, read DATA plane
+    # R-j for canonical slab j (the plane lattices coincide under the
+    # mirror: 1 - x_j = x_{R-j}); the phase neighbor j+1 becomes data
+    # plane R-j-1.
+    slab_d = (R - slab) if data_flip else slab
+    jn = np.clip(slab_d + (-1 if data_flip else 1), 0, R)
     idx = jnp.asarray(
-        np.stack([casc, slab, jn, np.zeros_like(slab)], axis=1), jnp.int32)
+        np.stack([casc, slab_d, jn, np.zeros_like(slab)], axis=1),
+        jnp.int32)
     xs_j = jnp.asarray(xs)
     pitch_j = jnp.asarray(pitch)
     x_rel = xs_j - o_c[0]
@@ -220,9 +229,15 @@ def sweep_composite_pallas(
          jnp.asarray(near, jnp.float32),
          jnp.asarray(0.0 if phase is None else phase, jnp.float32)])
 
-    # zero-pad both in-plane dims to RP for aligned matmul operands
-    padded = jnp.pad(
-        oriented, ((0, 0), (0, 0), (0, 0), (0, RP - Rv), (0, RP - Rv)))
+    if prepadded:
+        # already (K, S>=Rv, 4, RP, RP) — e.g. the fused shade kernel's
+        # direct output (ops/shade_pallas.py)
+        assert oriented.shape[-1] == RP and oriented.shape[-2] == RP
+        padded = oriented
+    else:
+        # zero-pad both in-plane dims to RP for aligned matmul operands
+        padded = jnp.pad(
+            oriented, ((0, 0), (0, 0), (0, 0), (0, RP - Rv), (0, RP - Rv)))
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1)
