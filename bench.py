@@ -165,10 +165,14 @@ def main():
     GATE_CROSS_FLOOR_DB = 20.0
     old_gate = os.environ.get("BENCH_GATE", "parity") == "cross30"
 
-    def baked_frame(w, h, focal, cfg, camera=None, sc=(0.5, 0.5), po=None):
+    def baked_frame(w, h, focal, cfg, camera=None, sc=(0.5, 0.5), po=None,
+                    packed=False):
         # po: per-rep pixel offset so timing loops never feed IDENTICAL
         # args — repeated jit calls with identical argument objects can
         # return cached results on this stack (NOTES_ROUND3 timing gotcha)
+        # packed: sweep-only channel-major (5, H, W) output — the layout
+        # Session.render ships (any (n, 4|5) materialization tile-pads its
+        # minor dim ~16x at the jit boundary; r5 measured ~40 ms/720p)
         import jax.numpy as jnp
 
         po_arr = None if po is None else jnp.asarray(po, jnp.float32)
@@ -179,7 +183,7 @@ def main():
                 eng, params, grid, meta, camera if camera is not None else cam,
                 focal, width=w, height=h, screen_center=sc,
                 min_transmittance=1e-4 if camera is not None else None,
-                pixel_offset=po_arr,
+                pixel_offset=po_arr, packed=packed,
             )
         return render_frame_baked(
             eng, params, bf, grid, camera if camera is not None else cam,
@@ -380,8 +384,25 @@ def main():
         print(f"# chosen config {name}: novel-view parity {chosen_delta:+.2f} dB",
               file=sys.stderr)
 
-    n_frames = 3
-    if cfg is not None:
+    # 12 frames: through the tunnel the per-dispatch RTT amortizes as
+    # ~RTT/n — measured r5: the same sweep frame reads 156 ms at 6 reps vs
+    # 117.7 at 16 (tools/ab_sweep_pallas.py); real hardware has no such
+    # constant, so a short loop UNDER-reports the renderer
+    n_frames = 12
+    sweep_timed = cfg is not None and cfg.get("renderer") == "sweep"
+    if sweep_timed:
+        # time the packed (5, H, W) frame — the layout Session.render uses
+        out5 = baked_frame(W, H, fl, cfg, po=(0.5, 0.5), packed=True)
+        out5.block_until_ready()
+        float(np.asarray(out5[0, 0, 0]))
+        t0 = time.time()
+        for fi in range(n_frames):
+            out5 = baked_frame(W, H, fl, cfg,
+                               po=(0.5, 0.5 + 1e-6 * (fi + 1)), packed=True)
+        out5.block_until_ready()
+        float(np.asarray(out5[0, 0, 0]))
+        rgba = jnp.moveaxis(out5[:4], 0, -1)
+    elif cfg is not None:
         rgba, _ = baked_frame(W, H, fl, cfg)
         rgba.block_until_ready()
         float(np.asarray(rgba[0, 0, 0]))

@@ -102,6 +102,26 @@ def _shade_kernel(
     m = p // Rv
     i = p - m * Rv
 
+    # lane-blocks past j = R are 100% padding (flat index v = j*JP + k,
+    # valid j < Rv): skip the whole decode->SH->MLP chain there and emit
+    # zeros — 2 of 8 blocks at R=256/block=18432, ~25% of the shade FLOPs.
+    # The composite's resample weights for those source rows are zero, but
+    # the buffer must still be NaN-free, hence the explicit zero write.
+    n_valid = Rv * JP
+
+    @pl.when(q * block >= n_valid)
+    def _pad_block():
+        out_ref[0] = jnp.zeros((4, block), jnp.bfloat16)
+
+    @pl.when(q * block < n_valid)
+    def _live_block():
+        _shade_block(tbl_ref, w_refs, out_ref, scale_ref, cam_ref,
+                     m, i, q, R=R, n_fields=n_fields, block=block,
+                     n_w=n_w, density_act=density_act, rgb_act=rgb_act)
+
+
+def _shade_block(tbl_ref, w_refs, out_ref, scale_ref, cam_ref, m, i, q, *,
+                 R, n_fields, block, n_w, density_act, rgb_act):
     blk = tbl_ref[0]  # (F, B) i16
     # sentinel mask as f32 arithmetic: 1-sublane i1 vectors hit Mosaic's
     # unimplemented sublane-broadcast path, so no bools anywhere here.

@@ -170,6 +170,10 @@ class Session:
 
         if self.mode == TestbedMode.GEOMETRY:
             raise RuntimeError("geometry scenes train their NeRF objects separately")
+        if isinstance(self.state, dict) and self.state.get("opt") == {}:
+            raise RuntimeError(
+                "cannot train from a render-only snapshot (no optimizer state)"
+            )
         bundle = getattr(self.engine, "grid_interval", 16)
         done = 0
         while done < n_steps:
@@ -372,6 +376,33 @@ class Session:
 
         payload = load_snapshot(path)
         import jax.numpy as jnp
+
+        if str(payload.get("meta", {}).get("kind", "")).startswith("render_only"):
+            # render-only snapshot (tools/export_render_snapshot.py): EMA
+            # inference params + occupancy bitfield, no optimizer moments.
+            # Enough for every renderer (live/baked/sweep) and the protocol
+            # evals; training from one is not supported.
+            from sienerf_tpu.io.snapshot import load_render_snapshot
+
+            params, bitfield, smeta = load_render_snapshot(path)
+            step = int(smeta["step"])
+            self.state = {
+                "opt": {},
+                "params": params,
+                "occ": {"bitfield": bitfield},
+                "step": jnp.asarray(step, jnp.int32),
+            }
+            self.training_step = step
+            if self.engine is not None:
+                self.engine._phase = smeta.get("phase", "fast")
+                if smeta.get("mean_samples"):
+                    self.engine._mean_samples = float(smeta["mean_samples"])
+            if self._rng_key is None:
+                self._rng_key = jax.random.PRNGKey(self.seed)
+            log.success(
+                f"loaded render-only snapshot {path} (step {step}; eval/render only)"
+            )
+            return payload
 
         self.state = jax.tree.map(jnp.asarray, payload["state"])
         self.training_step = int(payload["meta"].get("training_step", 0))

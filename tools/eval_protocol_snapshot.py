@@ -1,0 +1,81 @@
+"""Reference-protocol eval (spp 8, black bg, minT 1e-4) of ALL renderers
+from the committed render-only snapshot, in one process.
+
+The round-5 box reset lost the Session campaign checkpoints; the committed
+`data/fox_render.snap` (12896-step converged fox field) is the only field
+that survives a fresh box.  This drives the VERDICT r4 #4 certification —
+live vs baked vs sweep at the spp-8 protocol operating point, exercising
+the round-5 chain-phase (baked) and slab-phase (sweep) jitter — without
+retraining.  One Session, one bake, three eval rows.
+
+The absolute PSNRs are vs GT on the every-8th fox split views; NOTE the
+snapshot field trained on a 24-image subset of the full transforms (not
+the split-train set), so some split-test views may not be truly held out —
+the live-vs-fast-renderer DELTA on identical views is the certified
+quantity, matching the bench gate's parity criterion.
+
+Usage: python tools/eval_protocol_snapshot.py [--downscale 4] [--spp 8]
+       [--renderers live,baked,sweep]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--downscale", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--renderers", default="live,baked,sweep")
+    ap.add_argument("--snapshot", default=str(REPO / "data" / "fox_render.snap"))
+    args = ap.parse_args()
+
+    from tools.benchmark_quality import eval_protocol
+
+    from sienerf_tpu.io.nerf_dataset import load_nerf_dataset
+    from sienerf_tpu.session import Session
+
+    split = REPO / ".cache" / "fox_split"
+    sess = Session()
+    sess.load_file(split / "transforms_train.json", downscale=args.downscale)
+    sess.load_snapshot(args.snapshot)
+    test_ds = load_nerf_dataset(split / "transforms_test.json",
+                                downscale=args.downscale)
+
+    results = {}
+    for renderer in args.renderers.split(","):
+        t0 = time.time()
+        m = eval_protocol(sess, test_ds, spp=args.spp, renderer=renderer)
+        m["eval_s"] = round(time.time() - t0, 1)
+        results[renderer] = m
+        row = {
+            "scene": "fox-snap", "steps": sess.training_step,
+            "downscale": args.downscale, "spp": args.spp,
+            "renderer": renderer, **m,
+        }
+        print(json.dumps(row), flush=True)
+        with open(REPO / "QUALITY.md", "a") as fh:
+            fh.write(
+                f"| fox-snap | {sess.training_step} | {args.downscale} | "
+                f"{renderer} | {m['psnr_avg']:.2f} | {m['psnr_min']:.2f} | "
+                f"{m['psnr_max']:.2f} | {m['ssim_avg']:.3f} | eval {m['eval_s']}s |\n"
+            )
+    if "live" in results:
+        for r in ("baked", "sweep"):
+            if r in results:
+                d = results["live"]["psnr_avg"] - results[r]["psnr_avg"]
+                print(f"# spp-{args.spp} protocol delta live-vs-{r}: "
+                      f"{d:+.2f} dB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
