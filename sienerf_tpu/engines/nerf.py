@@ -1215,6 +1215,8 @@ class NerfEngine:
 
     def _render_params(self, params):
         """Swap in a packed hash table for forward-only rendering."""
+        if "grid_fp8" in params or "grid_bf16" in params:
+            return params  # already packed (render-only snapshot load)
         pack = self.render_table_pack
         if (
             pack in ("bf16", "fp8")

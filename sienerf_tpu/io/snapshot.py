@@ -106,12 +106,24 @@ def load_render_snapshot(path: str | Path):
     raw = dict(rs["params"])
     meta = dict(payload["meta"])
     if meta.get("kind") == "render_only_fp8":
-        import ml_dtypes
-
-        q = np.asarray(raw.pop("grid_fp8"))
-        scale = np.asarray(raw.pop("grid_fp8_scale"))
-        flat = q.view(ml_dtypes.float8_e4m3fn).astype(np.float32)
-        raw["grid"] = (flat * scale[:, None]).reshape(meta["grid_shape"])
+        # Emit the e4m3 bytes PRE-PACKED in pack_table_fp8's row format
+        # (4 bytes bitcast as one f32, little-endian — identical to
+        # jax.lax.bitcast_convert_type on the minor axis) instead of
+        # dequantizing to the 4-D (L, T, C, F) cell table: a minor-dim-F
+        # device array tile-pads (8, 128) -> up to 64x (measured: a 537 MB
+        # fox table asked for a 34 GB allocation inside Session.render's
+        # graph, r5 box-reset session).  _encode_pos dispatches on the
+        # grid_fp8 key, so every consumer (render, bake, eval) reads the
+        # packed rows; the dequantized values are bit-identical
+        # (e4m3 * per-level scale either way).
+        q = np.ascontiguousarray(np.asarray(raw["grid_fp8"]))
+        scale = np.asarray(raw["grid_fp8_scale"])
+        L, T, C, F = meta["grid_shape"]
+        raw["grid_fp8"] = (
+            q.reshape(L, T, (C * F) // 4, 4).view(np.uint32)
+            .squeeze(-1).view(np.float32)
+        )
+        raw["grid_fp8_scale"] = scale.astype(np.float32)
     params = jax.tree.map(
         lambda x: jnp.asarray(
             x, jnp.float32 if np.asarray(x).dtype == np.float16 else None

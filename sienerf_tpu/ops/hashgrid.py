@@ -572,10 +572,18 @@ def pack_table_fp8(config: HashGridConfig, table: jnp.ndarray):
 
 
 def hashgrid_encode_fp8(config: HashGridConfig, packed: jnp.ndarray, scale: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Forward-only encode from a pack_table_fp8 table (render path)."""
+    """Forward-only encode from a pack_table_fp8 table (render path).
+
+    Accepts the packed rows under any level RELABELING with the same
+    linear order (render-only snapshots quantize with Lq <= L coarser
+    per-level-scale groups; a C-order reshape maps quant level q onto
+    config levels [q*r, (q+1)*r), so the scales expand by repeat)."""
     L, F = config.n_levels, config.n_features_per_level
     C = 1 << config.n_dims
     N = pos.shape[0]
+    packed = packed.reshape(L, config.table_size, (C * F) // 4)
+    if scale.shape[0] != L:
+        scale = jnp.repeat(scale, L // scale.shape[0])
     idx, w, _, _, _ = _geometry_cell(config, pos)
     scale_np = scale  # (L,) traced; broadcast per level below
     outs = []

@@ -48,6 +48,18 @@ def main():
     sess = Session()
     sess.load_file(split / "transforms_train.json", downscale=args.downscale)
     sess.load_snapshot(args.snapshot)
+    bake_npz = REPO / ".cache" / "bake_256_16.npz"
+    if bake_npz.exists():
+        # reuse the cached bake (tools/rebake_cache.py) — it is baked from
+        # this same committed snapshot; a fresh bake costs ~5.5 min of TPU
+        import jax.numpy as jnp
+
+        blob = np.load(bake_npz)
+        meta = {"resolution": int(blob["resolution"]), "mode": "nearest",
+                "n_cascades": int(blob["n_cascades"])}
+        sess._baked = ({k: jnp.asarray(blob[k]) for k in blob.files
+                        if k not in ("resolution", "n_cascades")}, meta)
+        print("# using cached bake", file=sys.stderr)
     test_ds = load_nerf_dataset(split / "transforms_test.json",
                                 downscale=args.downscale)
 
