@@ -357,3 +357,44 @@ def test_flat_boundary_table_layout_equivalence():
     assert g2.shape == flat.shape
     np.testing.assert_array_equal(
         np.asarray(g4).reshape(g2.shape), np.asarray(g2))
+
+
+def test_fp8_encode_accepts_coarser_quant_level_relabeling():
+    """Render-only fp8 snapshots quantize with Lq < L per-level-scale groups
+    (tools/export_render_snapshot.quantize_grid_fp8 over the state's stored
+    grid shape); hashgrid_encode_fp8 must reproduce the dequantized encode
+    exactly from the relabeled packed rows + repeat-expanded scales
+    (io/snapshot.load_render_snapshot's fast path)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+
+    from sienerf_tpu.ops.hashgrid import (
+        HashGridConfig,
+        hashgrid_encode,
+        hashgrid_encode_fp8,
+        init_hashgrid_params,
+    )
+
+    cfg = HashGridConfig(n_levels=4, n_features_per_level=2,
+                         log2_hashmap_size=10, base_resolution=4)
+    table = np.asarray(init_hashgrid_params(jax.random.PRNGKey(0), cfg)) * 10.0
+    L, T = cfg.n_levels, cfg.table_size
+    C, F = 8, cfg.n_features_per_level
+    # quantize in Lq=2 groups of 2 config levels (the snapshot relabeling)
+    Lq = 2
+    flat = table.reshape(Lq, -1)
+    scale = np.maximum(np.abs(flat).max(axis=1), 1e-8) / 448.0
+    q8 = (flat / scale[:, None]).astype(ml_dtypes.float8_e4m3fn)
+    deq = (q8.astype(np.float32) * scale[:, None]).reshape(L, T, C, F)
+    # loader's numpy pack: (Lq, Tq, rows) f32 view of e4m3 quads
+    Tq = (L // Lq) * T
+    packed = (q8.view(np.uint8).reshape(Lq, Tq, (C * F) // 4, 4)
+              .view(np.uint32).squeeze(-1).view(np.float32))
+
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    ref = hashgrid_encode(cfg, jnp.asarray(deq), pos)
+    out = hashgrid_encode_fp8(cfg, jnp.asarray(packed), jnp.asarray(scale), pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
