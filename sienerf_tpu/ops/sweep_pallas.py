@@ -128,8 +128,12 @@ def _sweep_kernel(
 
     slab = slab_ref[0, 0]                   # (4, RP, RP) bf16
     if use_phase:
-        ph16 = misc_ref[2].astype(jnp.bfloat16)
-        slab = slab * (jnp.bfloat16(1) - ph16) + slab2_ref[0, 0] * ph16
+        # complement in f32: a SCALAR bf16 subtract (bf16(1) - ph16) hits
+        # Mosaic's unimplemented arith.subf legalization on this stack
+        ph = misc_ref[2]
+        ph16 = ph.astype(jnp.bfloat16)
+        om16 = (1.0 - ph).astype(jnp.bfloat16)
+        slab = slab * om16 + slab2_ref[0, 0] * ph16
     msk = jnp.where(inner > 0.5, mask_ref[...], jnp.bfloat16(1.0))
 
     def resample(c):

@@ -46,7 +46,12 @@ def main():
 
     split = REPO / ".cache" / "fox_split"
     sess = Session()
-    sess.load_file(split / "transforms_train.json", downscale=args.downscale)
+    # the snapshot field was trained with the REFERENCE fox config
+    # (8 levels x 4 features); the repo default base.json is 16x2 — the
+    # MLP widths coincide (L*F = 32) so a mismatched engine RUNS but
+    # evaluates the wrong hash geometry (~11 dB fog, r5 lesson)
+    sess.load_file(split / "transforms_train.json", downscale=args.downscale,
+                   network="/root/reference/configs/nerf/base.json")
     sess.load_snapshot(args.snapshot)
     bake_npz = REPO / ".cache" / "bake_256_16.npz"
     if bake_npz.exists():
