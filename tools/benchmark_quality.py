@@ -32,7 +32,7 @@ REPO = Path(__file__).resolve().parent.parent
 CACHE = REPO / ".cache"
 
 
-def eval_protocol(sess, test_ds, spp=8, renderer="live"):
+def eval_protocol(sess, test_ds, spp=8, renderer="live", render_kw=None):
     import jax.numpy as jnp
 
     from sienerf_tpu.metrics import psnr as psnr_of
@@ -45,7 +45,7 @@ def eval_protocol(sess, test_ds, spp=8, renderer="live"):
         rgba = sess.render(
             w, h, test_ds.xforms[vi], tuple(np.asarray(test_ds.focal_lengths[vi])),
             spp=spp, screen_center=tuple(np.asarray(test_ds.principal_points[vi])),
-            min_transmittance=1e-4, renderer=renderer,
+            min_transmittance=1e-4, renderer=renderer, **(render_kw or {}),
         )
         pred = np.asarray(rgba[..., :3], np.float64)
         gt_rgb = gt[..., :3] * gt[..., 3:4]  # black background

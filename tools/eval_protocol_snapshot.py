@@ -70,8 +70,13 @@ def main():
 
     results = {}
     for renderer in args.renderers.split(","):
+        # "sweep:linear" etc. — extra kw after a colon becomes the sweep's
+        # in-plane interp mode
+        rname, _, interp = renderer.partition(":")
+        rkw = {"interp": interp} if interp else None
         t0 = time.time()
-        m = eval_protocol(sess, test_ds, spp=args.spp, renderer=renderer)
+        m = eval_protocol(sess, test_ds, spp=args.spp, renderer=rname,
+                          render_kw=rkw)
         m["eval_s"] = round(time.time() - t0, 1)
         results[renderer] = m
         row = {
