@@ -60,16 +60,22 @@ class ImageEngine:
 
     def init(self, seed: int = 1337):
         key = jax.random.PRNGKey(seed)
-        params = init_single_network(key, self.net)
-        if "grid" in params:
-            # FLAT 2-D boundary layout: the (L, T, 4, 2) cell table
-            # tile-pads its minor dims up to 16x every time it crosses the
-            # per-step jit boundary (68 GB/step at the reference 2^21+
-            # table sizes — NOTES_ROUND4 wall; the NeRF path's boundary
-            # tables are flat for the same reason).  hashgrid_encode
-            # accepts the flat view and reshapes in-graph.
-            params["grid"] = params["grid"].reshape(
-                params["grid"].shape[0], -1)
+
+        # FLAT 2-D boundary layout: the (L, T, 4, 2) cell table tile-pads
+        # its minor dims up to 16x every time it crosses a jit boundary
+        # (68 GB/step at the reference 2^21+ table sizes — NOTES_ROUND4
+        # wall; the NeRF path's boundary tables are flat for the same
+        # reason).  hashgrid_encode accepts the flat view and reshapes
+        # in-graph.  The flatten must happen INSIDE one jit: an EAGER
+        # 4-D device table is already stored tile-padded at creation
+        # (measured r5: 2 GB unpadded -> 16 GB at T=2^22, OOM at init).
+        def _init(k):
+            p = init_single_network(k, self.net)
+            if "grid" in p:
+                p["grid"] = p["grid"].reshape(p["grid"].shape[0], -1)
+            return p
+
+        params = jax.jit(_init)(key)
         opt_state = optim_init(params, self.opt)
         return params, opt_state
 
